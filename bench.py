@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as a full action (count of the result) so the
+measured time includes the complete distributed plan, not lazy setup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — join/agg, top-k, scalar agg,
+# window, merge, set-op, time-bucket, text, dedup, similarity.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q_distinct_agg",
+    "q_dedup_latest",
+    "q_window_running",
+    "q_merge_upsert",
+    "q_union_distinct",
+    "q_incremental_watermark",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from s3_rds_bq_airflow_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("engine-bench")
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # Warm the JVM + file-listing caches once (not counted per-query).
+    queries[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_all0 = time.time()
+    for name in names:
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

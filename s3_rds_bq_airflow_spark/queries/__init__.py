@@ -1,0 +1,26 @@
+"""Declared query registry — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline extensions) registers here: a DataFrame builder
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, a DuckDB
+oracle SQL string producing identical column names and values.
+
+Import side effects populate the registry; ``all_queries()`` /
+``all_oracles()`` are what ``__spark_entry__.py`` re-exports.
+"""
+
+from .registry import all_oracles, all_queries, query
+
+# Import for registration side effects.
+from . import relational  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import scalar  # noqa: E402,F401
+from . import ingestion  # noqa: E402,F401
+from . import movement  # noqa: E402,F401
+from . import textops  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
+from . import eventsops  # noqa: E402,F401
+
+__all__ = ["all_queries", "all_oracles", "query"]

@@ -1,0 +1,146 @@
+"""Movement / maintenance / verification queries (SURVEY §2.1 S14-S15,
+§2.3 J1, §2.4 A2-A3, §2.11-2.12).
+
+These wrap the reusable operators in ``..operators`` so the driver's
+correctness gate exercises the same code paths users would call.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators.copy import full_copy, incremental_since
+from ..operators.merge import merge_upsert
+from ..operators.reconcile import count_reconciliation
+from .registry import query
+from ._util import dec, dsum, t, ts_str
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders
+    ),
+    src AS (
+        -- product stays at scale 4: decimal scale-down casts round
+        -- differently across engines (Spark HALF_UP vs DuckDB trunc)
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(22,4)) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'N', CAST(1.00 AS DECIMAL(22,4))
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           CAST(COALESCE(s.o_totalprice, t.o_totalprice) AS DOUBLE) AS o_totalprice
+    FROM target t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """J1 MERGE-upsert via the engine's window-dedup + full-outer
+    composition: 10%-of-keys updated (price uplift), a disjoint key
+    range inserted, everything else passes through."""
+    orders = t(spark, sf_dir, "orders")
+    target = orders.select("o_orderkey", "o_orderstatus", dec("o_totalprice").alias("o_totalprice"))
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (dec("o_totalprice") * F.lit(1.1).cast("decimal(3,2)"))
+        .cast("decimal(22,4)")
+        .alias("o_totalprice"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("1.00").cast("decimal(22,4)").alias("o_totalprice"),
+    )
+    merged = merge_upsert(target, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+@query(
+    "q_incremental_watermark",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_incremental_watermark(spark, sf_dir):
+    """S15 incremental high-watermark sync as a pushed-down predicate
+    (replaces the reference's ORDER BY + per-row bookmark loop,
+    `incremental.py:57-66`)."""
+    sliced = incremental_since(t(spark, sf_dir, "events"), "ts", "2024-01-20 00:00:00")
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_str(F.min("ts")).alias("first_ts"),
+        ts_str(F.max("ts")).alias("last_ts"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "q_full_copy_verified",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           COUNT(*) AS src_cnt,
+           COUNT(*) AS dst_cnt,
+           0 AS difference,
+           1 AS match
+    FROM orders
+    """,
+)
+def q_full_copy_verified(spark, sf_dir):
+    """S14+M8+A2 end-to-end: full copy with atomic overwrite, read the
+    destination back, exact count reconciliation (the reference's
+    transfer-verification loop, `rds-to-bq.py:304-313`)."""
+    src = t(spark, sf_dir, "orders")
+    dest = os.path.join(tempfile.mkdtemp(prefix="engine_copy_"), "orders")
+    copied = full_copy(src, dest)
+    rec = count_reconciliation({"orders": (src, copied)})
+    return rec.select(
+        "table_name",
+        "src_cnt",
+        "dst_cnt",
+        F.col("difference").cast("long").alias("difference"),
+        F.col("match").cast("long").alias("match"),
+    )
+
+
+@query(
+    "q_tolerant_reconcile",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS src_cnt,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS dst_cnt,
+           CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) >=
+                0.9 * (SELECT COUNT(*) FROM orders) AS BIGINT) AS gate_passed
+    """,
+)
+def q_tolerant_reconcile(spark, sf_dir):
+    """A3 tolerant (>= 90%) reconciliation — the reference's safety
+    gate before destructive cleanup (`delete-rds-after-load.py:310`)."""
+    src_cnt = t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("src_cnt"))
+    dst_cnt = t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("dst_cnt")
+    )
+    return (
+        src_cnt.crossJoin(dst_cnt)
+        .select(
+            "src_cnt",
+            "dst_cnt",
+            (F.col("dst_cnt") >= 0.9 * F.col("src_cnt")).cast("long").alias("gate_passed"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""Scalar-function operators (SURVEY §2.8: F1-F8).
+
+String cleaning, date/time, math, JSON extraction, boolean/CASE
+logic — all JVM-side `pyspark.sql.functions`, fully inside
+whole-stage codegen; no Python in the row path.
+
+Cross-engine notes: only functions with identical semantics in Spark
+and DuckDB appear in oracle-checked outputs (e.g. `dayofweek` is
+avoided — Spark counts 1=Sunday, DuckDB 0=Sunday; `pow` is avoided —
+library-dependent rounding; `sqrt` is IEEE-exact so it's fine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import dec, dsum, t
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS segment_lower,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 9) AS name_prefix,
+           c_name || '/' || c_mktsegment AS name_seg,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           TRIM(LPAD(CAST(c_custkey AS VARCHAR), 10, '0')) AS key_padded,
+           REVERSE(c_mktsegment) AS segment_rev
+    FROM customer
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String family (F1): case, length, substring, concat, replace,
+    pad, reverse — the reference's sanitization vocabulary exposed as
+    row-level expressions."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.trim(F.lpad(F.col("c_custkey").cast("string"), 10, "0")).alias("key_padded"),
+        F.reverse(F.col("c_mktsegment")).alias("segment_rev"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day,
+           CAST(MAX(DATE_DIFF('day', CAST(TIMESTAMP '1995-01-01 00:00:00' AS DATE), CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_epoch0
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """Date/time family (F2): extract parts, truncate, day diffs —
+    time-bucketed revenue (the canonical warehouse rollup)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.min(F.col("o_orderdate").cast("date")).cast("string").alias("first_day"),
+            F.max(
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            ).cast("long").alias("max_days_since_epoch0"),
+        )
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(CAST(l_extendedprice AS DECIMAL(18,2)) - 1000) AS price_minus_1k,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           l_linenumber % 3 AS line_mod3,
+           SQRT(l_quantity) AS qty_sqrt,
+           GREATEST(l_quantity, 10.0) AS qty_at_least_10,
+           LEAST(l_quantity, 40.0) AS qty_at_most_40,
+           CAST(SIGN(l_quantity - 25) AS BIGINT) AS qty_sign
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    """Math family (F3): abs/ceil/floor/mod/sqrt/greatest/least/sign."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(dec("l_extendedprice") - 1000).alias("price_minus_1k"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        (F.col("l_linenumber") % 3).alias("line_mod3"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qty_at_least_10"),
+        F.least(F.col("l_quantity"), F.lit(40.0)).alias("qty_at_most_40"),
+        F.signum(F.col("l_quantity") - 25).cast("long").alias("qty_sign"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    """JSON family (F7): extract scalar from a JSON string column
+    (`get_json_object` — JVM-side JSON path, no UDF)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_case_expr",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS balance_tier,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q_case_expr(spark, sf_dir):
+    """CASE / COALESCE / NULLIF conditional logic."""
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            tier.alias("balance_tier"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+                "segment_or_other"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+    SELECT c_custkey,
+           MD5(c_name) AS name_md5,
+           SUBSTRING(MD5(c_name || '/' || c_mktsegment), 1, 16) AS composite_fp
+    FROM customer
+    WHERE c_custkey % 50 = 0
+    """,
+)
+def q_hash_funcs(spark, sf_dir):
+    """Hash family (F5-ish): MD5 content hashes — the engine's
+    fingerprinting primitive (also the basis of exact dedup)."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.substring(F.md5(F.concat_ws("/", "c_name", "c_mktsegment")), 1, 16).alias("composite_fp"),
+    )
