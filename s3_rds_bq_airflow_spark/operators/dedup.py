@@ -1,0 +1,232 @@
+"""Deduplication kit for large text corpora: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard verification.
+
+Design for 100 TB:
+
+- **Exact**: hash-groupBy on a normalized content digest — one
+  shuffle of (digest, doc_id), never the text itself.
+- **MinHash+LSH**: shingle -> 64-bit hash -> P permutation minima ->
+  band signatures -> candidate pairs via a self-join on
+  (band, signature). Only docs sharing a band bucket ever meet, so
+  the join is linear-ish in corpus size instead of O(n^2); signatures
+  are a few hundred bytes per doc regardless of document length.
+- **SimHash**: per-token hash bit votes -> 32-bit signature -> banded
+  byte join for candidates -> exact Hamming filter via bit_count.
+- All hashing is xxhash64 (deterministic, seed-stable, JVM-side).
+
+Everything is DataFrame-composable; no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Deterministic (a*h + b) % MERSENNE_31 permutation constants,
+# pre-generated with a fixed seed so signatures are reproducible.
+MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_constants(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31)) for _ in range(n_perm)]
+
+
+def normalize_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized-content MD5: one row per distinct
+    content with the kept (minimum) id and the duplicate count."""
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("content_fp"), F.col(id_col))
+        .groupBy("content_fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def token_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document -> (id, shingle_hash).
+
+    Built with array expressions (transform/slice over the token
+    array), exploded once; hashes immediately so shuffles move longs,
+    not strings.
+    """
+    toks = F.split(F.trim(normalize_text(F.col(text_col))), " ")
+    shingle_arr = F.expr(
+        f"transform(sequence(1, greatest(size({'_toks'}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {k})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select("_id", F.explode(F.array_distinct(shingle_arr)).alias("_sh"))
+        .select("_id", F.pmod(F.xxhash64("_sh"), F.lit(MERSENNE_31)).alias("_h"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_perm: int = 32, seed: int = 42
+) -> DataFrame:
+    """P-permutation MinHash signature per id (one hash-agg pass;
+    shuffle payload = P longs per doc)."""
+    perms = _perm_constants(n_perm, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return shingles.groupBy("_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing >= 1 band.
+
+    Rows per doc = bands; join key = (band_idx, band_hash). Returns
+    distinct (id_a < id_b) candidate pairs.
+    """
+    rows_per_band = n_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    banded = signatures.select(
+        F.col("_id"), F.explode(F.array(*band_cols)).alias("bs")
+    ).select("_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (anti-false-
+    positive pass): |A ∩ B| via join on shingle hash, |A ∪ B| =
+    |A| + |B| - |A ∩ B|."""
+    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = shingles.select(F.col("_id").alias("id_a"), "_h")
+    sh_b = shingles.select(F.col("_id").alias("id_b"), "_h")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "_h"])  # equal shingle hash on both sides
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> signature ->
+    banded candidates -> exact-Jaccard verification."""
+    sh = token_shingles(df, text_col, id_col, k)
+    sigs = minhash_signatures(sh, n_perm)
+    cands = lsh_candidate_pairs(sigs, n_perm, bands)
+    return jaccard_verify(cands, sh, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash: token-hash bit votes -> sign -> packed
+    signature (computed as `bits` conditional sums in one agg pass)."""
+    toks = F.explode(F.split(F.trim(normalize_text(F.col(text_col))), " ")).alias("_tok")
+    hashed = df.select(F.col(id_col).alias("_id"), toks).select(
+        "_id", F.xxhash64("_tok").alias("_h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(_h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy("_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return voted.select("_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup: candidates share >= 1 of ``n_bands`` byte
+    bands (pigeonhole guarantee for small Hamming distances), then an
+    exact popcount(xor) filter."""
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    band_width = bits // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash >> {b * band_width}) & {(1 << band_width) - 1}").alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "_id", "simhash", F.explode(F.array(*bands)).alias("bk")
+    ).select("_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the 100 TB design brief:
+
+- **Brute-force top-k** (the exact baseline): cosine per row via
+  `zip_with` + `aggregate` — pure Catalyst array expressions, JVM-
+  side, no shuffle; then a TakeOrdered top-k. Linear scan, perfectly
+  partition-parallel: the right choice when the query count is small.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (sign of dot with deterministic planes) -> candidates share the
+  query's bucket (with multiprobe on 1-bit flips) -> exact cosine
+  re-rank of the tiny candidate set. Bucket join replaces the full
+  scan; planes are seeded constants so results are reproducible.
+
+For oracle-checked exactness the dot products run in DECIMAL (exact,
+order-independent — see queries/_util.py); the rows-only fast path
+uses plain double `zip_with`/`aggregate`.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal dot product: float elements cast to
+    DECIMAL(12,8), products summed into DECIMAL(38,16)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("decimal(12,8)") * y.cast("decimal(12,8)")
+    )
+    # decimal + decimal widens (38,16)+(25,16) -> (38,15); cast the
+    # running sum back so the accumulator type stays fixed.
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,16)"),
+        lambda acc, x: (acc + x).cast("decimal(38,16)"),
+    )
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Deterministic cosine: exact decimal dots surfaced as double,
+    then IEEE sqrt/divide (bit-identical on any engine)."""
+    dot = _dot_dec(a, b).cast("double")
+    na = F.sqrt(_dot_dec(a, a).cast("double"))
+    nb = F.sqrt(_dot_dec(b, b).cast("double"))
+    return dot / (na * nb)
+
+
+def cosine_fast(a: Column, b: Column) -> Column:
+    """Double-precision cosine — the throughput path (single pass,
+    no decimal overhead). Left-to-right aggregate order, so still
+    deterministic for a fixed array."""
+    return _dot_double(a, b) / (
+        F.sqrt(_dot_double(a, a)) * F.sqrt(_dot_double(b, b))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame
+    (broadcast — the scan never shuffles)."""
+    q = F.broadcast(query_vec.select(F.col(vec_col).alias("_qvec")))
+    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_qvec"))
+    return (
+        embeddings.crossJoin(q)
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signed_projection_bucket(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(dot(vec, plane_i))."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot_double(vec, plane_col) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: hyperplane-bucket the corpus once, probe the query
+    bucket (plus all 1-bit-flip neighbors), exact-cosine re-rank the
+    candidates. At scale the bucketed corpus is a materialized/
+    partitioned table and each query touches ~n/2^planes rows."""
+    planes = _hyperplanes(dim, n_planes)
+    bucketed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        signed_projection_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = query_vec.select(
+        F.col(vec_col).alias("_qvec"),
+        signed_projection_bucket(F.col(vec_col), planes).alias("_qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("_qbucket"),
+            *[
+                F.col("_qbucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select("_qvec", F.explode(probes).alias("_qbucket"))
+    q = F.broadcast(q)
+    cands = bucketed.join(q, bucketed["_bucket"] == q["_qbucket"])
+    return (
+        cands.select(
+            F.col(id_col), cosine_fast(F.col(vec_col), F.col("_qvec")).alias("cosine")
+        )
+        .groupBy(id_col)
+        .agg(F.max("cosine").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

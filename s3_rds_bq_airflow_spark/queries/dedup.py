@@ -1,1 +1,166 @@
-"""Placeholder — implemented in a later batch."""
+"""Deduplication queries over the documents table (training-data
+pipeline kit; SURVEY build-plan step 6).
+
+The synthetic corpus has no natural duplicates, so the near-dup
+queries build a deterministic augmented corpus — each doc_id % 17 == 0
+document gets a lightly-mutated twin (id + 1,000,000) — and must
+recover exactly those planted pairs. That makes the rows-only checks
+meaningful: non-empty, deterministic, and self-verifying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from .registry import query
+from ._util import t
+from .textops import NORMALIZE_SQL
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT MD5({NORMALIZE_SQL}) AS content_fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-content MD5. The
+    shuffle moves (16-byte digest, id) pairs — content never moves."""
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_exact_planted",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT MD5({NORMALIZE_SQL})) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT MD5({NORMALIZE_SQL})) AS n_duplicates
+    FROM corpus
+    """,
+)
+def q_dedup_exact_planted(spark, sf_dir):
+    """Exact dedup against planted identical twins: the distinct count
+    must drop by exactly the number of planted copies."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_duplicates"),
+    )
+
+
+def _augmented_corpus(spark, sf_dir):
+    """documents + mutated twins (suffix tokens appended) — near-dups
+    by construction, recoverable by MinHash/SimHash."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz mutated suffix token")).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+@query("q_dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup detection (shingle -> 32-perm signature ->
+    8-band bucket join -> exact-Jaccard verify >= 0.5) on the planted
+    corpus. No SQL oracle (hash-permutation internals); deterministic
+    rows-only: recovered pairs are exactly (id, id+1e6) twins."""
+    pairs = minhash_near_dup_pairs(
+        _augmented_corpus(spark, sf_dir), threshold=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard"), 4).alias("jaccard_r4"),
+        (F.col("id_b") - F.col("id_a") == 1000000).cast("long").alias("is_planted_twin"),
+    ).orderBy("id_a", "id_b")
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup (32-bit token-vote signature, 4-band candidate
+    join, Hamming <= 6) on the planted corpus. Rows-only check."""
+    pairs = simhash_near_dup_pairs(_augmented_corpus(spark, sf_dir))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        (F.col("id_b") - F.col("id_a") == 1000000).cast("long").alias("is_planted_twin"),
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH sample_docs AS (
+        SELECT doc_id, lang,
+               list_distinct(
+                   regexp_extract_all(
+                       TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')),
+                       '[a-z0-9]+')
+               ) AS grams
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (LEN(a.grams) + LEN(b.grams) - LEN(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM sample_docs a JOIN sample_docs b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (LEN(a.grams) + LEN(b.grams) - LEN(list_intersect(a.grams, b.grams))) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard with language blocking (the verify
+    stage of near-dup pipelines, oracle-checked end-to-end). Blocking
+    (same lang, sampled ids) keeps the pair space linear-ish — the
+    production analogue is LSH buckets as the blocking key."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    F.lit("[a-z0-9]+"),
+                    F.lit(0),
+                )
+            ).alias("grams"),
+        )
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )

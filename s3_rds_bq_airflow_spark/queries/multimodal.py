@@ -1,1 +1,70 @@
-"""Placeholder — implemented in a later batch."""
+"""Multimodal-column queries: binary payload metadata (oracle-checked
+JVM-side path) and the stubbed decode pipeline (mapInPandas plumbing,
+rows-only).
+
+The corpus has no real media, so payloads are derived
+deterministically from document text (UTF-8 bytes) — an opaque blob
+as far as the operators are concerned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import FEATURE_DIM, extract_media_features
+from .registry import query
+from ._util import t
+
+
+@query(
+    "q_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           MD5(LOWER(hex(encode(text)))) AS payload_md5,
+           UPPER(SUBSTRING(hex(encode(text)), 1, 8)) AS magic_prefix,
+           CAST(octet_length(encode(text)) > 1000 AS BIGINT) AS is_large
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def q_binary_metadata(spark, sf_dir):
+    """Typed metadata over an opaque binary column — byte length,
+    content digest, magic-bytes prefix — all JVM-side functions on
+    BinaryType (no decode, no Python)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    # hex case differs across engines (Spark upper, DuckDB lower):
+    # normalize explicitly on both sides.
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(F.lower(F.hex(payload))).alias("payload_md5"),
+            F.upper(F.substring(F.hex(payload), 1, 8)).alias("magic_prefix"),
+            (F.octet_length(payload) > 1000).cast("long").alias("is_large"),
+        )
+    )
+
+
+@query("q_media_decode_stub")
+def q_media_decode_stub(spark, sf_dir):
+    """The stubbed decode/feature pipeline end-to-end: binary payloads
+    -> mapInPandas (Arrow batches) -> fixed-dim feature vectors +
+    dead-letter status. Rows-only (Python-side stub isn't SQL);
+    deterministic byte-statistics features."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    feats = extract_media_features(docs)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_sha256",
+        "decode_status",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.element_at("feature", 1), 6).alias("feat0_r6"),
+    ).orderBy("doc_id")

@@ -1,1 +1,162 @@
-"""Placeholder — implemented in a later batch."""
+"""Similarity-search queries over the embeddings table.
+
+The oracle for the exact path reproduces the decimal dot product in
+DuckDB via unnest + generate_subscripts (position-aligned). Exact
+decimal arithmetic makes the top-k boundary deterministic across
+engines; the residual float->decimal quantization skew (~1e-8) is
+absorbed by rounding the reported cosine to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_exact,
+    lsh_ann_topk,
+)
+from .registry import query
+from ._util import t
+
+_QUERY_VEC_ID = 0
+_TOPK = 10
+
+# Exact decimal dot in DuckDB: unnest both vectors position-aligned.
+_ORACLE_TOPK = f"""
+WITH q AS (
+    SELECT unnest(embedding) AS qx, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+),
+e AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+dots AS (
+    SELECT e.vec_id,
+           CAST(SUM(CAST(e.x AS DECIMAL(12,8)) * CAST(q.qx AS DECIMAL(12,8))) AS DOUBLE) AS dot,
+           CAST(SUM(CAST(e.x AS DECIMAL(12,8)) * CAST(e.x AS DECIMAL(12,8))) AS DOUBLE) AS norm2
+    FROM e JOIN q ON e.i = q.i
+    GROUP BY e.vec_id
+),
+qnorm AS (
+    SELECT CAST(SUM(CAST(qx AS DECIMAL(12,8)) * CAST(qx AS DECIMAL(12,8))) AS DOUBLE) AS qnorm2 FROM q
+)
+SELECT vec_id, ROUND(dot / (SQRT(norm2) * SQRT(qnorm2)), 6) AS cosine_r6
+FROM dots, qnorm
+ORDER BY dot / (SQRT(norm2) * SQRT(qnorm2)) DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+@query("q_cosine_topk_exact", oracle=_ORACLE_TOPK)
+def q_cosine_topk_exact(spark, sf_dir):
+    """Brute-force exact cosine top-k vs a query vector (vec_id=0):
+    broadcast query, per-row zip_with/aggregate dot, TakeOrdered.
+    Scales linearly and partition-parallel — the exactness baseline
+    every ANN variant is judged against.
+
+    Spark and DuckDB quantize float->DECIMAL(12,8) with ~1e-8 skew, so
+    the reported cosine is rounded to 6 decimals on both sides; the
+    ranking itself uses full precision + vec_id tiebreak."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+    topk = brute_force_topk(emb, qv, _TOPK, exact=True)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+@query("q_cosine_ann_lsh")
+def q_cosine_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-k (8 seeded hyperplanes + 1-bit multiprobe
+    + exact re-rank). Rows-only (plane constants aren't SQL-portable);
+    deterministic by construction. recall_hint compares against the
+    exact top-k so the result is self-checking."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+    ann = lsh_ann_topk(emb, qv, _TOPK)
+    exact = brute_force_topk(emb, qv, _TOPK, exact=False).select(
+        F.col("vec_id").alias("exact_id")
+    )
+    return (
+        ann.join(exact, ann["vec_id"] == exact["exact_id"], "left")
+        .select(
+            "vec_id",
+            F.round("cosine", 6).alias("cosine_r6"),
+            F.col("exact_id").isNotNull().cast("long").alias("in_exact_topk"),
+        )
+        .orderBy(F.desc("cosine_r6"), "vec_id")
+    )
+
+
+@query(
+    "q_embedding_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(LEN(embedding) AS BIGINT)) AS BIGINT) AS total_dims,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    """Embedding-table profiling: per-label vector counts and
+    dimension totals (array-column handling through groupBy)."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.size("embedding").cast("long")).alias("total_dims"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.max("vec_id").cast("long").alias("max_vec_id"),
+        )
+    )
+
+
+@query("q_embedding_neardup")
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup detection: planted twin vectors
+    (slightly perturbed copies of every 29th embedding) must pair with
+    their originals at cosine >= 0.999 via an LSH-bucketed pair join —
+    the embedding analogue of MinHash dedup. Rows-only, deterministic."""
+    from ..operators.similarity import _hyperplanes, signed_projection_bucket
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    planes = _hyperplanes(64, 8)
+    bucketed = corpus.select(
+        "vec_id",
+        "embedding",
+        signed_projection_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    left, right = bucketed.alias("l"), bucketed.alias("r")
+    from ..operators.similarity import cosine_fast
+
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            cosine_fast(F.col("l.embedding"), F.col("r.embedding")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.999)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cosine", 6).alias("cosine_r6"),
+            (F.col("id_b") - F.col("id_a") == 1000000).cast("long").alias("is_planted_twin"),
+        )
+        .orderBy("id_a", "id_b")
+    )
