@@ -1,1 +1,240 @@
-"""Placeholder — implemented in a later batch."""
+"""Event-time windowing operators over the ``events`` table.
+
+The reference has NO streaming operators (SURVEY §2.9 "absent") — its
+nearest constructs are the incremental high-watermark sync
+(`tap_mysql/sync_strategies/incremental.py:57-66`) and the unconfigured
+binlog CDC path (`binlog.py:17-37`). These queries are the batch face
+of the rebuild's streaming surface: the SAME ``F.window`` /
+``F.session_window`` expressions run unchanged under Structured
+Streaming (see ``s3_rds_bq_airflow_spark.streaming``), which is the
+point of Spark's unified batch/stream model.
+
+Scale: event-time windowing is a single hash shuffle on
+(window, keys); sliding windows fan each row out to length/slide
+window instances *before* the partial aggregate, so state is
+O(windows x keys), never O(rows). Session windows shuffle on the
+user key and merge per-key sorted runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import t, ts_str
+
+
+@query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window per event type. Runs
+    identically as a streaming groupBy under a watermark."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30, event_type, value FROM events
+    ), w AS (
+        SELECT b30 AS ws, event_type, value FROM b
+        UNION ALL
+        SELECT b30 - INTERVAL '30 minutes' AS ws, event_type, value FROM b
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark, sf_dir):
+    """Sliding (hopping) window: 1-hour length, 30-minute slide. Each
+    event lands in exactly length/slide = 2 window instances; Spark
+    expands rows to instances BEFORE the partial aggregate, so shuffle
+    volume is 2x rows of pre-aggregated partials, not raw events."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL '15 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """Session windows: per-user activity sessions closed by a 15-minute
+    inactivity gap (Spark semantics: a gap of exactly >= 15 min starts a
+    new session; window end = last event + gap). The oracle reproduces
+    this with gaps-and-islands SQL — in Spark it is ONE built-in
+    expression, and the same expression sessionizes an unbounded stream
+    with state cleanup under a watermark."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            ts_str(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_watermark_finality",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                <= (SELECT max_ts FROM mx) - INTERVAL '2 hours' AS BOOLEAN) AS is_final
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts)
+    """,
+)
+def q_watermark_finality(spark, sf_dir):
+    """Watermark semantics, batch face: with watermark = max event time
+    minus a 2-hour allowed lateness, a tumbling window is FINAL (would
+    have been emitted and its state dropped by the streaming engine)
+    iff window.end <= watermark. The scalar max joins back via a
+    broadcast of one row — no second scan shuffle."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy(F.window("ts", "1 hour").alias("w")).agg(F.count(F.lit(1)).alias("n_events"))
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        agg.crossJoin(F.broadcast(mx))
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "n_events",
+            (F.col("w.end") <= F.col("max_ts") - F.expr("INTERVAL 2 HOURS")).alias("is_final"),
+        )
+    )
+
+
+@query(
+    "q_pivot_event_type",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot_event_type(spark, sf_dir):
+    """PIVOT: daily counts with one column per event type. Explicit
+    value list keeps the plan a single pass (no distinct-values
+    pre-query) — mandatory at scale."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").cast("string").alias("event_date"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@query(
+    "q_event_rate_per_user",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_micros,
+           CAST(COUNT(*) AS DOUBLE)
+             / GREATEST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 3600000000.0, 1.0)
+             AS events_per_hour
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_event_rate_per_user(spark, sf_dir):
+    """Per-user activity rate (throughput metric A6 generalized from
+    the reference's rows/sec logging, `s3-to-rds.py:239-243`). The
+    span is exact integer microseconds so both engines derive the
+    identical IEEE-754 rate."""
+    e = t(spark, sf_dir, "events")
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (micros("max_ts") - micros("min_ts")).alias("span_micros"),
+            (
+                F.col("n_events").cast("double")
+                / F.greatest(
+                    (micros("max_ts") - micros("min_ts")) / F.lit(3600000000.0), F.lit(1.0)
+                )
+            ).alias("events_per_hour"),
+        )
+    )
