@@ -1,0 +1,109 @@
+"""Declared queries backed by REAL Structured Streaming runs.
+
+Each call stages the events table as arrival files, executes a
+micro-batch streaming query to completion (availableNow trigger),
+and returns the materialized result — oracle-checked against the
+same DuckDB SQL as the batch equivalents, proving the unified
+batch/stream semantics rather than asserting them.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import ts_str
+
+
+def _utc_wall(col):
+    """Instant -> UTC wall-clock (timestamp_ntz) under ANY session
+    timezone (same construction as io/tables.load_table)."""
+    return F.to_utc_timestamp(col, F.current_timezone()).cast("timestamp_ntz")
+
+
+def _run_stream(spark, sf_dir, build, name_prefix):
+    from ..streaming import read_event_stream, stage_as_files
+
+    landing = tempfile.mkdtemp(prefix=f"{name_prefix}_")
+    stage_as_files(os.path.join(sf_dir, "events.parquet"), landing, n_files=4)
+    table = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, landing)
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation executed BY THE STREAMING ENGINE
+    (micro-batched file arrivals, state store, complete-mode emission)
+    and checked against the identical batch oracle."""
+    from ..streaming import tumbling_event_counts
+
+    out = _run_stream(spark, sf_dir, tumbling_event_counts, "stream_tumble")
+    return out.select(
+        ts_str(_utc_wall(F.col("window_start"))).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL '15 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessionize(spark, sf_dir):
+    """Session windows computed by the streaming state store (merging
+    session state across micro-batches), equal to the batch
+    gaps-and-islands oracle."""
+    from ..streaming import sessionize
+
+    out = _run_stream(spark, sf_dir, sessionize, "stream_sess")
+    return out.select(
+        "user_id",
+        ts_str(_utc_wall(F.col("session_start"))).alias("session_start"),
+        "n_events",
+        "total_value",
+    )

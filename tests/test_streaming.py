@@ -1,0 +1,200 @@
+"""Structured Streaming: file-source micro-batches, watermark/late-data
+semantics, foreachBatch merge-upsert, and custom per-key state.
+
+Streams are driven with trigger(availableNow=True) so every test is a
+finite, deterministic run over staged files.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from s3_rds_bq_airflow_spark.streaming import (
+    event_schema,
+    read_event_stream,
+    running_user_totals,
+    sessionize,
+    stage_as_files,
+    stream_upsert_parquet,
+    tumbling_event_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def landing_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_landing"))
+    paths = stage_as_files(os.path.join(SF_DIR, "events.parquet"), d, n_files=4)
+    assert len(paths) >= 2
+    return d
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _batch_events(spark, landing_dir):
+    return spark.read.schema(event_schema()).parquet(landing_dir)
+
+
+def test_tumbling_stream_equals_batch(spark, landing_dir):
+    """One availableNow run in complete mode must reproduce the batch
+    tumbling aggregate exactly."""
+    stream = read_event_stream(spark, landing_dir)
+    _run_to_memory(tumbling_event_counts(stream), "t_tumble", "complete")
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events, total_value FROM t_tumble"
+    ).toPandas()
+    want = (
+        _batch_events(spark, landing_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_session_stream_equals_batch(spark, landing_dir):
+    stream = read_event_stream(spark, landing_dir)
+    _run_to_memory(sessionize(stream, gap="15 minutes"), "t_sess", "complete")
+    got = spark.sql("SELECT user_id, session_start, n_events FROM t_sess").toPandas()
+    want = (
+        _batch_events(spark, landing_dir)
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .toPandas()
+    )
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Fresh data arrives in batches 0-1, then a file a full day older
+    in batch 2. By then the watermark (advanced at the end of batch 1;
+    Spark applies a newly advanced watermark starting with the NEXT
+    batch) is far past the stale events, so their windows never appear
+    in append-mode output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "late_landing")
+    os.makedirs(d)
+
+    def write(path, base_ts, n, mtime):
+        ts = pd.date_range(base_ts, periods=n, freq="5min")
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    write(os.path.join(d, "fresh_a.parquet"), "2024-01-02 10:00:00", 48, now)
+    write(os.path.join(d, "fresh_b.parquet"), "2024-01-02 14:00:00", 12, now + 10)
+    write(os.path.join(d, "stale.parquet"), "2024-01-01 10:00:00", 12, now + 20)
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    agg = tumbling_event_counts(stream, watermark="30 minutes")
+    q = _run_to_memory(agg, "t_late", "append")
+    got = spark.sql("SELECT window_start, n_events FROM t_late").toPandas()
+    assert len(got) > 0
+    # nothing from Jan 1 was admitted
+    assert (pd.to_datetime(got["window_start"]) >= pd.Timestamp("2024-01-02")).all()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped > 0
+
+
+def test_stream_upsert_parquet(spark, landing_dir, tmp_path):
+    """foreachBatch merge: the target ends at exactly the latest row
+    per user, identical to a batch dedup over all staged files."""
+    target = str(tmp_path / "user_latest")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    stream = read_event_stream(spark, landing_dir, max_files_per_trigger=2)
+    q = stream_upsert_parquet(
+        stream, target, keys=["user_id"], order_cols=["ts", "event_id"], checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(target)
+        .select("user_id", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    from s3_rds_bq_airflow_spark.operators.merge import dedup_latest
+
+    want = (
+        dedup_latest(_batch_events(spark, landing_dir), ["user_id"], ["ts", "event_id"])
+        .select("user_id", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_running_user_totals_state(spark, landing_dir):
+    """applyInPandasWithState across multiple micro-batches converges
+    to the batch per-user totals (latest update per user wins)."""
+    stream = read_event_stream(spark, landing_dir, max_files_per_trigger=1)
+    _run_to_memory(running_user_totals(stream), "t_state", "update")
+    updates = spark.sql("SELECT * FROM t_state").toPandas()
+    # update mode re-emits a user's row each batch they appear in; the
+    # row with the highest n_events is the final state.
+    got = (
+        updates.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want_df = (
+        _batch_events(spark, landing_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_events"]], want_df[["user_id", "n_events"]]
+    )
