@@ -1,0 +1,107 @@
+"""Physical-plan pins: the scale-readiness properties of the headline
+queries are assertions, not hopes. A change that drops a filter
+pushdown, un-broadcasts a dimension join, or adds a shuffle fails
+here before it melts a real cluster.
+
+Counts are taken on the statically optimized plan; AQE only improves
+them at runtime.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from s3_rds_bq_airflow_spark.plans import (
+    assert_broadcast_joins,
+    assert_max_shuffles,
+    assert_pushed_filter,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from s3_rds_bq_airflow_spark.plans.inspect import plan_nodes
+
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return build
+
+
+def test_q6_full_pushdown_single_scan(q):
+    """Every q6 predicate reaches the parquet reader; the single scan
+    reads only the five needed columns."""
+    df = q("q6_forecast_revenue")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filter(df, col)
+    assert_max_shuffles(df, 1)  # the single-partition final aggregate
+    (schema,) = read_schemas(df)
+    assert "l_extendedprice" in schema
+    for unneeded in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert unneeded not in schema
+
+
+def test_q1_prunes_and_pushes(q):
+    df = q("q1_pricing_summary")
+    assert_pushed_filter(df, "l_shipdate")
+    assert_max_shuffles(df, 1)  # one partial->final agg exchange
+    (schema,) = read_schemas(df)
+    for unneeded in ("l_orderkey", "l_suppkey", "l_linenumber"):
+        assert unneeded not in schema
+
+
+def test_q5_broadcasts_dimensions(q):
+    """The star join must broadcast the dimension side — the fact
+    table is never shuffled for dimension enrichment."""
+    df = q("q5_nation_revenue")
+    assert_broadcast_joins(df, 3)
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "r_name")
+    assert_max_shuffles(df, 2)
+
+
+def test_q3_selective_join(q):
+    df = q("q3_shipping_priority")
+    assert_broadcast_joins(df, 1)
+    for col in ("o_orderdate", "l_shipdate", "c_mktsegment"):
+        assert_pushed_filter(df, col)
+
+
+def test_topk_is_take_ordered_not_global_sort(q):
+    """LIMIT k over ORDER BY must plan as TakeOrderedAndProject —
+    per-partition top-k merged on the driver, zero shuffles — never a
+    global sort."""
+    df = q("q_topk_customers")
+    nodes = plan_nodes(df)
+    assert "TakeOrderedAndProject" in nodes
+    assert "Sort" not in nodes
+    assert shuffle_count(df) == 0
+
+
+def test_dedup_latest_single_shuffle(q):
+    """The W1 window dedup shuffles once on the partition key."""
+    assert_max_shuffles(q("q_dedup_latest"), 1)
+
+
+def test_merge_upsert_two_shuffles(q):
+    """Full-outer merge: one shuffle per side, nothing downstream."""
+    assert_max_shuffles(q("q_merge_upsert"), 2)
+
+
+def test_windowed_agg_single_shuffle(q):
+    """Tumbling/session windows aggregate with exactly one exchange."""
+    assert_max_shuffles(q("q_tumbling_window"), 1)
+    assert_max_shuffles(q("q_session_window"), 1)
+
+
+def test_pushdown_report_nonempty_across_catalog(q):
+    """Filters declared next to scans stay pushed for the selective
+    relational queries (spot inventory, not exhaustive)."""
+    for name in ("q_semi_join", "q_anti_join", "q_union_distinct"):
+        assert pushed_filters(q(name)), f"{name} lost all scan pushdown"
