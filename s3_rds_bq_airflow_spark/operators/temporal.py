@@ -1,0 +1,113 @@
+"""Temporal join operators Spark SQL lacks as primitives: as-of join
+and range join. Neither exists in the reference (its only join is a
+key-equality MERGE, SURVEY §2.3); both are table stakes for an
+event/time-series surface, so they're built Spark-first from
+shuffle-friendly primitives — no UDFs, no driver loops.
+
+As-of join — union + carry-forward:
+    Tag right rows 0 and left rows 1, union on (key, time, tag),
+    window-sort per key, carry the last non-null right payload
+    forward, keep left rows. ONE shuffle of each input on the key —
+    versus the naive equi-join + filter + row_number, which explodes
+    every left row by all earlier right rows before pruning.
+
+Range join — bucketed equi-join:
+    Map right times to fixed buckets; explode each left interval to
+    the buckets it covers; equi-join on (key, bucket) + residual
+    range predicate. Turns an O(n*m) nested-loop into a hash join
+    whose fanout is interval_len/bucket ≈ small constant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    strict: bool = True,
+    suffix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time <= left_time`` (``<`` when ``strict``) and the same
+    ``on`` key. Right payload columns come back as ``{suffix}{col}``
+    (null when no prior right row exists — left-outer semantics).
+    """
+    carried = [f"{suffix}{c}" for c in right_values]
+    # tag: right rows sort before left rows at equal time for
+    # inclusive (<=) semantics, after them for strict (<).
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(right_tag).alias("__tag"),
+        *[F.col(c).alias(f"{suffix}{c}") for c in right_values],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(  # noqa: E741
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(left_tag).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{suffix}{c}") for c in right_values],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # The tag ordering encodes the inequality: for strict (<) a right
+    # row at the same __t sorts AFTER the left row and falls outside
+    # the frame; for inclusive (<=) it sorts before and is carried.
+    w = W.partitionBy("__k").orderBy("__t", "__tag").rowsBetween(W.unboundedPreceding, 0)
+    combined = l.unionByName(r)
+    for c in carried:
+        combined = combined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = combined.where(F.col("__tag") == left_tag)
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(c) for c in carried],
+    )
+
+
+def epoch_seconds(col: str | Column) -> Column:
+    """Timestamp/NTZ -> exact epoch seconds (double). NTZ values are
+    pinned through the session zone identically on both sides of a
+    join, so bucket arithmetic stays consistent under any timezone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp")).cast("double") / F.lit(1e6)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_start: Column,
+    left_end: Column,
+    right_time: Column,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Equi-key + time-range join: pairs each left row with every
+    right row where ``left_start <= right_time < left_end`` and keys
+    match. Time expressions are epoch seconds (``epoch_seconds``).
+    ``bucket_seconds`` should be on the order of the typical interval
+    length (fanout = interval/bucket + 1 per left row).
+    """
+    lb = F.floor(left_start / bucket_seconds).cast("long")
+    ub = F.floor(left_end / bucket_seconds).cast("long")
+    lx = (
+        left.withColumn("__ls", left_start)
+        .withColumn("__le", left_end)
+        .withColumn("__b", F.explode(F.sequence(lb, ub)))
+    )
+    rx = right.withColumn("__rt", right_time).withColumn(
+        "__b", F.floor(F.col("__rt") / bucket_seconds).cast("long")
+    )
+    joined = lx.join(rx, on=[on, "__b"]).where(
+        (F.col("__rt") >= F.col("__ls")) & (F.col("__rt") < F.col("__le"))
+    )
+    return joined.drop("__b", "__ls", "__le", "__rt")

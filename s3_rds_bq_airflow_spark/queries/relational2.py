@@ -1,0 +1,511 @@
+"""Extended relational coverage: the TPC-H-shaped analytic patterns
+(adapted to the synthetic star schema) the reference's dataset exists
+for but its code never runs (SURVEY §2.3/§2.4 mark joins and grouped
+aggregation "absent — free in Spark").
+
+Each query exercises a distinct plan shape: semi join with non-equi
+residual (q4), multi-fact nation-pair join (q7), share-of-total
+conditional aggregation (q8, q14), four-way star profit rollup (q9),
+group-filter join-back (q18, argmax), disjunctive pushdown (q19),
+distinct-count with NOT-IN exclusion (q16), scalar-subquery threshold
++ anti join (q22).
+
+Scale notes: dimension sides broadcast explicitly; every conditional
+ratio is computed from exact decimal partials; thresholds derived
+from data use two-phase aggregation, never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import dec, dsum, t
+
+_REV = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))"
+
+
+def _rev() -> F.Column:
+    return F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)"))
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H-Q4 shape: EXISTS with a NON-equi residual (line shipped
+    after order date) — a left-semi join whose condition carries both
+    the key equality and the date comparison."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST({_REV} AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H-Q7 shape: trade volume between a nation pair by year.
+    Disjunctive cross-dimension predicate evaluates after two broadcast
+    dimension joins; only fact-fact join shuffles."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    n1 = F.broadcast(t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = F.broadcast(t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_rev().cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT l_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume_dec ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume_dec) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS volume_dec,
+               n1.n_name AS supp_nation
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region   ON n2.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE r_name = 'REGION_1'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY l_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H-Q8 shape: one nation's share of a region's purchase
+    volume per year — conditional decimal aggregation; the ratio is
+    derived from two exact partial sums."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = F.broadcast(t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1"))
+    vol = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(region, F.col("n2_rkey") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("l_year"),
+            vol.alias("volume_dec"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("l_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume_dec")).otherwise(F.lit(0))).cast("double")
+            / F.sum("volume_dec").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(3,1))) AS DOUBLE)
+             AS profit
+    FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H-Q9 shape: profit by supplier nation and year (supply cost
+    stands in as half retail price — the dataset has no partsupp).
+    part/supplier/nation broadcast; the fact table never shuffles
+    before the aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    part = F.broadcast(t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")))
+    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    profit = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)") - dec(
+        "p_retailprice"
+    ) * dec("l_quantity") * F.lit(0.5).cast("decimal(3,1)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST({_REV} AS DOUBLE) AS revenue, c_acctbal, n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H-Q10 shape: customers who returned the most value in a
+    half-year — join + group + top-k (TakeOrderedAndProject)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev().cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H-Q12 shape (ship-mode replaced by line status): counts of
+    high/low-priority order lines shipped in a year — conditional
+    integer aggregation after an equi-join."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                             ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H-Q14 shape: promo revenue percentage for one month —
+    broadcast part join + two exact conditional sums."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    vol = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 25
+    """,
+)
+def q16_supplier_diversity(spark, sf_dir):
+    """TPC-H-Q16 shape: distinct-supplier counts per part attribute
+    with a NOT-IN exclusion (left-anti against in-arrears suppliers,
+    which broadcast — the exclusion list is tiny at any scale)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(
+        t(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+        )
+    )
+    bad_supp = F.broadcast(
+        t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(25)
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18 shape: large-volume orders — a HAVING-filtered
+    aggregate feeding a semi join (group-filter join-back)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.big_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST({_REV} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 15)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H-Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges — Catalyst extracts the common join key and pushes the OR
+    of ranges into both scans."""
+    li = t(spark, sf_dir, "lineitem")
+    part = F.broadcast(t(spark, sf_dir, "part"))
+    cond1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 15)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 25)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond1 | cond2)
+        .agg(_rev().cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q22_dormant_rich",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_rich(spark, sf_dir):
+    """TPC-H-Q22 shape: above-average-balance customers with no orders
+    — scalar-subquery threshold (exact decimal mean, broadcast as a
+    one-row cross join) + anti join."""
+    cust = t(spark, sf_dir, "customer")
+    avg_pos = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_argmax_join_back",
+    oracle="""
+    WITH mx AS (
+        SELECT c_mktsegment AS seg, MAX(c_acctbal) AS max_bal
+        FROM customer GROUP BY c_mktsegment
+    ), pick AS (
+        SELECT c.c_mktsegment AS seg, MIN(c_custkey) AS pick_key
+        FROM customer c JOIN mx ON c.c_mktsegment = mx.seg AND c.c_acctbal = mx.max_bal
+        GROUP BY c.c_mktsegment
+    )
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+    FROM customer JOIN pick ON c_custkey = pick_key
+    """,
+)
+def q_argmax_join_back(spark, sf_dir):
+    """Argmax-per-group via aggregate + broadcast join-back (the
+    two-shuffle alternative to a window row_number when groups are few
+    and rows are huge — no full-partition sort of the fact table)."""
+    cust = t(spark, sf_dir, "customer")
+    mx = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(F.max("c_acctbal").alias("max_bal"))
+    pick = (
+        cust.join(
+            F.broadcast(mx),
+            (cust.c_mktsegment == mx.seg) & (cust.c_acctbal == mx.max_bal),
+        )
+        .groupBy("seg")
+        .agg(F.min("c_custkey").alias("pick_key"))
+    )
+    return cust.join(F.broadcast(pick), cust.c_custkey == pick.pick_key).select(
+        "c_mktsegment", "c_custkey", "c_name", "c_acctbal"
+    )

@@ -1,0 +1,108 @@
+"""Declared queries for the temporal join operators (as-of, range).
+
+DuckDB has native ASOF JOIN, which makes a sharp oracle: the Spark
+implementation is a composition (union + carry-forward window / binned
+equi-join), the oracle is the primitive — matching values prove the
+composition's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import t, ts_str
+from ..operators.temporal import asof_join, epoch_seconds, range_join_binned
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS prior_purchase_ts,
+           p.value AS prior_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join: every event gets the user's most recent STRICTLY
+    prior purchase (left-outer; null when none). Spark composition:
+    tag+union both sides, one hash shuffle on user_id, sort within
+    partition, carry the last purchase payload forward — never the
+    naive join-explode-prune. Oracle: DuckDB's native ASOF JOIN."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["ts", "value"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts"),
+        ts_str(F.col("asof_ts")).alias("prior_purchase_ts"),
+        F.col("asof_value").alias("prior_purchase_value"),
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT s.event_id AS signup_event_id, s.user_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           COUNT(c.ts) AS n_clicks_2h,
+           CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS click_value_2h
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON s.user_id = c.user_id AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL '2 hours'
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range join: per signup, that user's clicks in the following two
+    hours. Spark composition: explode each signup interval onto
+    fixed 2h buckets and hash-join on (user, bucket) + residual range
+    predicate — an O(n+m) shuffle join with constant fanout instead of
+    a nested-loop. Zero-click signups are restored by a left join of
+    the counts back onto signups."""
+    e = t(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"), "user_id", F.col("ts").alias("signup_ts")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    start = epoch_seconds("signup_ts")
+    paired = range_join_binned(
+        signups,
+        clicks,
+        on="user_id",
+        left_start=start,
+        left_end=start + F.lit(7200.0),
+        right_time=epoch_seconds("click_ts"),
+        bucket_seconds=7200,
+    )
+    counts = paired.groupBy("signup_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_2h"),
+        F.sum(F.col("click_value").cast("decimal(18,2)")).alias("click_value_dec"),
+    )
+    return (
+        signups.join(counts, on="signup_event_id", how="left")
+        .select(
+            "signup_event_id",
+            "user_id",
+            ts_str(F.col("signup_ts")).alias("signup_ts"),
+            F.coalesce(F.col("n_clicks_2h"), F.lit(0)).alias("n_clicks_2h"),
+            F.coalesce(F.col("click_value_dec"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("click_value_2h"),
+        )
+    )

@@ -100,6 +100,21 @@ def test_windowed_agg_single_shuffle(q):
     assert_max_shuffles(q("q_session_window"), 1)
 
 
+def test_asof_join_single_shuffle(q):
+    """The as-of composition must stay a one-shuffle union+window —
+    if it ever degrades to a join-explode the count jumps."""
+    assert_max_shuffles(q("q_asof_join"), 1)
+
+
+def test_star_joins_broadcast_dimensions(q):
+    """q7/q9 star shapes: all dimension joins broadcast, one shuffle
+    total (the final aggregate)."""
+    for name in ("q7_nation_volume", "q9_product_profit"):
+        df = q(name)
+        assert_broadcast_joins(df, 3)
+        assert_max_shuffles(df, 1)
+
+
 def test_pushdown_report_nonempty_across_catalog(q):
     """Filters declared next to scans stay pushed for the selective
     relational queries (spot inventory, not exhaustive)."""
