@@ -1,0 +1,141 @@
+"""Skew-mitigation and distribution-statistics queries.
+
+The salted operators must produce IDENTICAL results to their naive
+forms — the oracle is the plain SQL aggregation/join, so the parity
+check proves the rewrite is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import dec, t
+from ..operators.skew import salted_groupby, salted_join
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over a genuinely skewed key:
+    o_orderstatus has 3 values over the whole fact table, so a naive
+    shuffle lands everything on 3 reducers; (key, salt) spreads each
+    across 16. Result must equal the plain GROUP BY."""
+    out = salted_groupby(
+        t(spark, sf_dir, "orders").withColumn("__price_dec", dec("o_totalprice")),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("o_orderkey", "count"),
+            "total_price_dec": ("__price_dec", "sum"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        n_salt=16,
+        salt_cols=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        "max_price",
+    )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT o_orderstatus, n_name, COUNT(*) AS n_orders
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY o_orderstatus, n_name
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Salted equi-join: orders (probe, salted on the order key) join
+    customers replicated across 8 salt buckets — the skew-safe shape
+    when the build side is modest but not broadcastable and probe keys
+    are hot. Equal to the plain join."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    )
+    joined = salted_join(orders, cust, "o_custkey", n_salt=8, left_salt_cols=["o_orderkey"])
+    return joined.groupBy("o_orderstatus", "n_name").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_quantity, 0.95) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines use
+    linear interpolation over the sorted values). The scale path is
+    approx_percentile (t-digest sketch, single pass, mergeable) —
+    exercised in q_approx_quantiles."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+    )
+
+
+@query("q_approx_quantiles")
+def q_approx_quantiles(spark, sf_dir):
+    """Single-pass mergeable quantile sketch — the 100 TB answer to
+    percentiles (no per-group sort). Rows-only check: sketch
+    algorithms differ across engines; exactness is q_percentiles."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)").alias(
+            "approx_quantiles"
+        )
+    )
+
+
+@query(
+    "q_json_unpack_view",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_id % 100 = 0
+    """,
+)
+def q_json_unpack_view(spark, sf_dir):
+    """Generated unpacking VIEW (reference M10: fixed-schema JSON rows
+    + a view of json_extract projections, `target_bigquery/
+    core.py:765-790`): from_json with an explicit schema inside a
+    temp view — typed access without persisting a second copy."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    e.createOrReplaceTempView("raw_events_fixed")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               from_json(props, 'k BIGINT').k AS k
+        FROM raw_events_fixed
+        """
+    )
