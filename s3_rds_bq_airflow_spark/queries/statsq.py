@@ -1,0 +1,176 @@
+"""Data profiling and moment statistics.
+
+Extends the reference's verification tier (V1-V4: existence, counts,
+sample inspection) into a real profiling surface: per-column
+nullness/cardinality/extrema, and second-moment statistics computed
+from EXACT decimal power sums so results are order-independent across
+any partitioning (Spark's built-in stddev/corr merge float partials —
+fine in practice, but not bit-reproducible across partition counts;
+the engine's contract is bit-stable results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import dec, t
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           MIN(CAST(o_orderstatus AS VARCHAR)) AS min_str,
+           MAX(CAST(o_orderstatus AS VARCHAR)) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(CAST(o_orderpriority AS VARCHAR)), MAX(CAST(o_orderpriority AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_custkey),
+           MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
+    FROM orders
+    """,
+)
+def q_profile_table(spark, sf_dir):
+    """Column profile (nulls, cardinality, extrema) in ONE pass over
+    the table: per-column aggregates computed side by side, then
+    unpivoted — not one scan per column."""
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column_name, n_null, n_distinct, min_str, max_str)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+@query(
+    "q_stats_moments",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem
+    )
+    SELECT n,
+           sx / n AS mean_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / ((n - 1) * SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1)))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Mean / sample stddev / Pearson correlation derived from exact
+    decimal power sums — one pass, order-independent, bit-identical
+    at any partition count (unlike merged float partials)."""
+    li = t(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_x = (sxx - sx * sx / n) / (n - F.lit(1))
+    var_y = (syy - sy * sy / n) / (n - F.lit(1))
+    return s.select(
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / ((n - F.lit(1)) * F.sqrt(var_x) * F.sqrt(var_y))).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query(
+    "q_nearest_supplier",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+               CAST(c_custkey % 360 - 180 AS DOUBLE) AS lng
+        FROM customer WHERE c_custkey % 25 = 0
+    ), s AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey % 180 - 90 AS DOUBLE) AS lat,
+               CAST(s_suppkey % 360 - 180 AS DOUBLE) AS lng
+        FROM supplier
+    ), d AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.lat - s.lat) * (c.lat - s.lat) + (c.lng - s.lng) * (c.lng - s.lng) AS dist2,
+               ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY (c.lat - s.lat) * (c.lat - s.lat)
+                                         + (c.lng - s.lng) * (c.lng - s.lng),
+                                           s.s_suppkey) AS rn
+        FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, dist2 FROM d WHERE rn = 1
+    """,
+)
+def q_nearest_supplier(spark, sf_dir):
+    """Nearest-neighbor by squared euclidean distance over synthetic
+    key-derived coordinates (the dataset carries no lat/lng; the
+    geolocation-style op is the point). Broadcast the small side,
+    per-probe top-1 via window — exact arithmetic keeps the oracle
+    hash-tight (transcendental haversine lives in the rows-only ANN
+    queries). At scale the cross join is replaced by the LSH-bucketed
+    ANN path (q_cosine_ann_lsh) — this is the exact small-side form."""
+    from pyspark.sql import Window as W
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 25 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 180 - 90).cast("double").alias("c_lat"),
+            (F.col("c_custkey") % 360 - 180).cast("double").alias("c_lng"),
+        )
+    )
+    supp = F.broadcast(
+        t(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            (F.col("s_suppkey") % 180 - 90).cast("double").alias("s_lat"),
+            (F.col("s_suppkey") % 360 - 180).cast("double").alias("s_lng"),
+        )
+    )
+    dist2 = (F.col("c_lat") - F.col("s_lat")) * (F.col("c_lat") - F.col("s_lat")) + (
+        F.col("c_lng") - F.col("s_lng")
+    ) * (F.col("c_lng") - F.col("s_lng"))
+    w = W.partitionBy("c_custkey").orderBy(F.col("dist2"), F.col("s_suppkey"))
+    return (
+        cust.crossJoin(supp)
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), "dist2")
+    )
