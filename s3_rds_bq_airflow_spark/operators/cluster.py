@@ -1,0 +1,70 @@
+"""Connected components over near-duplicate edges (entity/dedup
+clustering).
+
+Pairwise dedup (exact, MinHash, SimHash — ``operators/dedup.py``)
+yields EDGES; collapsing a duplicate group needs the transitive
+closure: A~B and B~C must land A, B, C in one cluster even if A~C was
+never emitted as a pair. That closure is connected components —
+computed here as iterative min-label propagation, pure DataFrame ops:
+
+    label(n) <- min(label(n), min over neighbors m of label(m))
+
+repeated to fixpoint. Each round is one shuffle join + one aggregate;
+rounds needed = graph diameter (dedup clusters are shallow — near-dup
+chains rarely exceed a handful of hops; a large-star/small-star
+variant would cut worst cases to O(log n) rounds). Lineage is cut
+every round with an eager localCheckpoint so the plan doesn't grow
+exponentially — the standard Spark iterative-algorithm discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``nodes``: one column ``id_col``; ``edges``: undirected pairs
+    (``src_col``, ``dst_col``). Returns (id, cluster_id). Converges
+    when a full round changes no label; raises if ``max_iterations``
+    rounds don't reach the fixpoint (pathological diameter — switch
+    to star-contraction before raising the cap).
+    """
+    bidir = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iterations):
+        msgs = bidir.join(labels, bidir.src == labels.id).select(
+            F.col("dst").alias("id"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only ever decrease; equal sum = fixpoint
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} rounds")
+
+
+def cluster_sizes(labels: DataFrame) -> DataFrame:
+    """(cluster_id, cluster_size) from a component labeling."""
+    return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))

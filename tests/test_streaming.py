@@ -169,6 +169,50 @@ def test_stream_upsert_parquet(spark, landing_dir, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stream_stream_interval_join(spark, landing_dir):
+    """Watermarked stream-stream join: clicks within 2 hours after a
+    signup, both sides unbounded streams. One availableNow pass must
+    produce exactly the batch interval-join pairs (state for both
+    sides is bounded by the watermark + interval condition)."""
+    def side(event_type, alias_prefix):
+        s = read_event_stream(spark, landing_dir).where(F.col("event_type") == event_type)
+        return s.select(
+            F.col("user_id").alias(f"{alias_prefix}_user"),
+            F.col("ts").alias(f"{alias_prefix}_ts"),
+            F.col("event_id").alias(f"{alias_prefix}_id"),
+        ).withWatermark(f"{alias_prefix}_ts", "2 hours")
+
+    signups, clicks = side("signup", "s"), side("click", "c")
+    joined = signups.join(
+        clicks,
+        F.expr(
+            "s_user = c_user AND c_ts >= s_ts AND c_ts < s_ts + INTERVAL 2 HOURS"
+        ),
+    ).select("s_id", "c_id")
+    _run_to_memory(joined, "t_ssjoin", "append")
+    got = spark.sql("SELECT s_id, c_id FROM t_ssjoin").toPandas()
+
+    batch = _batch_events(spark, landing_dir)
+    s_b = batch.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")
+    )
+    c_b = batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    want = (
+        s_b.join(
+            c_b,
+            F.expr("s_user = c_user AND c_ts >= s_ts AND c_ts < s_ts + INTERVAL 2 HOURS"),
+        )
+        .select("s_id", "c_id")
+        .toPandas()
+    )
+    key = ["s_id", "c_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_running_user_totals_state(spark, landing_dir):
     """applyInPandasWithState across multiple micro-batches converges
     to the batch per-user totals (latest update per user wins)."""
