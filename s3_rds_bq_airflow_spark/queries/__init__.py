@@ -28,5 +28,6 @@ from . import temporal  # noqa: E402,F401
 from . import skewq  # noqa: E402,F401
 from . import statsq  # noqa: E402,F401
 from . import clusterq  # noqa: E402,F401
+from . import coverage  # noqa: E402,F401
 
 __all__ = ["all_queries", "all_oracles", "query"]

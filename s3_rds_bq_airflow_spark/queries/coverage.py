@@ -1,0 +1,139 @@
+"""Coverage queries for remaining plan shapes: generators (explode),
+deterministic hash sampling, RANGE window frames, ntile bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .registry import query
+from ._util import dec, dsum, t
+
+
+@query(
+    "q_token_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, UNNEST(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 25
+    """,
+)
+def q_token_topk(spark, sf_dir):
+    """Corpus token frequency: generator (explode) -> hash aggregate
+    -> top-k. The explode multiplies rows BEFORE the aggregate, but
+    partial aggregation collapses per-partition counts before the
+    (token) shuffle — vocabulary-sized state, not corpus-sized."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.explode(F.split(norm, " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(25)
+    )
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_price,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    WHERE SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '0c'
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~5% sample by content hash prefix — reproducible
+    across engines, runs, partitionings, and scale factors (unlike
+    TABLESAMPLE/rand()), and consistent for the same key across
+    tables. The standard trick for stable debug/eval splits on
+    100 TB inputs."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "0c")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("o_totalprice").alias("sampled_price"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS price_band_sum
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def q_window_range(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): all orders within
+    1000 of the current price below it. Ties share identical frame
+    results by definition, so the output is deterministic without a
+    unique-key tie-break."""
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("price_band_sum"),
+        )
+    )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+    SELECT c_mktsegment, balance_quartile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS balance_quartile
+        FROM customer
+    )
+    GROUP BY c_mktsegment, balance_quartile
+    """,
+)
+def q_ntile(spark, sf_dir):
+    """NTILE quartiles per segment (unique-key tie-break makes tile
+    assignment deterministic), re-aggregated to band summaries."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile"))
+        .groupBy("c_mktsegment", "balance_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
