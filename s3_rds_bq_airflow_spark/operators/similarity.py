@@ -148,3 +148,41 @@ def lsh_ann_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """k-NN similarity JOIN: for each probe vector, its k nearest
+    corpus neighbors by cosine (self-pairs excluded).
+
+    The probe set broadcasts; the corpus scan stays put (no shuffle
+    of the big side) and each partition scores its rows against all
+    probes, then a per-probe window keeps k. Right shape while
+    |probes| x |partition rows| is manageable; for probe sets too big
+    to broadcast, the LSH-bucketed path (``lsh_ann_topk`` generalized
+    to a bucket-bucket join) replaces the cross product.
+    """
+    from pyspark.sql import Window as W
+
+    p = F.broadcast(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvec"))
+    )
+    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_pvec"))
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        embeddings.crossJoin(p)
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -160,3 +160,53 @@ def q_embedding_neardup(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_KNN_ORACLE = """
+WITH p AS (
+    SELECT vec_id AS probe_id, unnest(embedding) AS px, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+e AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+dots AS (
+    SELECT p.probe_id, e.vec_id,
+           CAST(SUM(CAST(e.x AS DECIMAL(12,8)) * CAST(p.px AS DECIMAL(12,8))) AS DOUBLE) AS dot
+    FROM e JOIN p ON e.i = p.i
+    GROUP BY 1, 2
+),
+norms AS (
+    SELECT vec_id,
+           CAST(SUM(CAST(x AS DECIMAL(12,8)) * CAST(x AS DECIMAL(12,8))) AS DOUBLE) AS n2
+    FROM e GROUP BY 1
+),
+scored AS (
+    SELECT d.probe_id, d.vec_id AS neighbor_id,
+           d.dot / (SQRT(ne.n2) * SQRT(np.n2)) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                              ORDER BY d.dot / (SQRT(ne.n2) * SQRT(np.n2)) DESC, d.vec_id) AS rn
+    FROM dots d
+      JOIN norms ne ON d.vec_id = ne.vec_id
+      JOIN norms np ON d.probe_id = np.vec_id
+    WHERE d.vec_id <> d.probe_id
+)
+SELECT probe_id, neighbor_id, ROUND(cosine, 6) AS cosine_r6
+FROM scored WHERE rn <= 3
+"""
+
+
+@query("q_knn_join", oracle=_KNN_ORACLE)
+def q_knn_join(spark, sf_dir):
+    """k-NN similarity JOIN: top-3 cosine neighbors for every probe
+    (vec_id % 100 == 0) — broadcast probes x stationary corpus scan,
+    per-probe window top-k. Exact decimal dots keep the ranking and
+    the oracle hash-tight (cosine reported rounded to 6 decimals,
+    same as q_cosine_topk_exact)."""
+    from ..operators.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    out = knn_join(emb, probes, 3, exact=True)
+    return out.select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r6"))
