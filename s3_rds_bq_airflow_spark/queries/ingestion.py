@@ -121,3 +121,49 @@ def q_audit_stamping(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.count("created_date").alias("n_stamped"),
     )
+
+
+@query(
+    "q_null_normalize",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(CAST(o_orderstatus AS VARCHAR), '') AS status_filled,
+           COALESCE(o_totalprice, 0.0) AS price_filled,
+           CAST(o_totalprice IS NULL AS BOOLEAN) AS price_was_null
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    )
+    WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_null_normalize(spark, sf_dir):
+    """Null normalization (P3): the reference blanket-fills NaN/None
+    before loading (`rds-to-bq.py:281`, `s3-to-rds.py:400-405`). The
+    engine's form: ``na.fill`` per type + an explicit was-null flag so
+    the fill is auditable. Nulls are injected deterministically since
+    the synthetic tables have none."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    with_nulls = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return with_nulls.select(
+        "o_orderkey",
+        F.col("o_orderstatus").isNull().alias("_status_null"),
+        F.col("o_totalprice").isNull().alias("price_was_null"),
+        "o_orderstatus",
+        "o_totalprice",
+    ).na.fill({"o_orderstatus": "", "o_totalprice": 0.0}).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_filled"),
+        F.col("o_totalprice").alias("price_filled"),
+        "price_was_null",
+    )

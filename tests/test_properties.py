@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis): algebraic laws the composed
+operators must satisfy on arbitrary small inputs, complementing the
+fixed-dataset oracle parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Window as W, functions as F
+
+from s3_rds_bq_airflow_spark.operators.cluster import connected_components
+from s3_rds_bq_airflow_spark.operators.merge import dedup_latest, merge_upsert
+from s3_rds_bq_airflow_spark.operators.skew import salted_groupby
+from s3_rds_bq_airflow_spark.operators.temporal import asof_join
+
+# Each example runs real Spark jobs; keep the example counts small —
+# these laws fail loudly when broken, they don't need wide sampling.
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=50),  # version/time
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(target=rows, source=rows)
+def test_merge_upsert_idempotent_and_unique(spark, target, source):
+    """merge(merge(t, s), s) == merge(t, s); merged keys are unique."""
+    t = dedup_latest(
+        spark.createDataFrame(target, ["k", "v", "x"]), ["k"], ["v", "x"]
+    )
+    s = spark.createDataFrame(source, ["k", "v", "x"])
+    once = merge_upsert(t, s, ["k"], source_order=["v", "x"])
+    twice = merge_upsert(once, s, ["k"], source_order=["v", "x"])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice
+    keys = [r["k"] for r in once.select("k").collect()]
+    assert len(keys) == len(set(keys))
+
+
+@SETTINGS
+@given(left=rows, right=rows)
+def test_asof_join_equals_naive(spark, left, right):
+    """The one-shuffle union/carry-forward as-of equals the naive
+    join-filter-rownumber definition (strict inequality)."""
+    # unique (key, time) on the right so "latest prior" is unambiguous
+    l = spark.createDataFrame(  # noqa: E741
+        [(k, t) for k, t, _ in left], ["k", "t"]
+    ).withColumn("lid", F.monotonically_increasing_id())
+    r = (
+        spark.createDataFrame(right, ["k", "rt", "rv"])
+        .groupBy("k", "rt")
+        .agg(F.max("rv").alias("rv"))
+    )
+    got = (
+        asof_join(
+            l, r, on="k", left_time="t", right_time="rt",
+            right_values=["rt", "rv"], strict=True,
+        )
+        .select("k", "t", "asof_rt", "asof_rv")
+        .collect()
+    )
+    w = W.partitionBy("k", "t", "lid").orderBy(F.desc("rt"))
+    naive = (
+        l.join(r, on="k", how="left")
+        .where(F.col("rt").isNull() | (F.col("rt") < F.col("t")))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1))
+        .select(
+            "k", "t",
+            F.col("rt").alias("asof_rt"), F.col("rv").alias("asof_rv"),
+        )
+        .collect()
+    )
+    # the naive LEFT join can lose rows whose only matches were
+    # filtered; restore them as null matches
+    naive_keys = {(x["k"], x["t"]) for x in naive}
+    for row in l.collect():
+        if (row["k"], row["t"]) not in naive_keys:
+            naive.append({"k": row["k"], "t": row["t"], "asof_rt": None, "asof_rv": None})
+    def norm(xs):
+        none = -(10**9)
+        return sorted(
+            (
+                x["k"],
+                x["t"],
+                none if x["asof_rt"] is None else x["asof_rt"],
+                none if x["asof_rv"] is None else x["asof_rv"],
+            )
+            for x in xs
+        )
+
+    assert norm(got) == norm(naive)
+
+
+@SETTINGS
+@given(data=rows, n_salt=st.integers(min_value=1, max_value=8))
+def test_salted_groupby_equals_plain(spark, data, n_salt):
+    df = spark.createDataFrame(data, ["k", "v", "x"])
+    got = salted_groupby(
+        df, ["k"], {"s": ("v", "sum"), "n": ("v", "count"), "mx": ("x", "max")},
+        n_salt=n_salt,
+    )
+    want = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"), F.max("x").alias("mx")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=15
+    )
+)
+def test_connected_components_edges_share_label(spark, edges):
+    nodes = spark.range(10).select(F.col("id"))
+    e = spark.createDataFrame(edges or [(0, 0)], ["id_a", "id_b"])
+    labels = connected_components(nodes, e)
+    lab = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    for a, b in edges:
+        assert lab[a] == lab[b], (a, b, lab)
+    # every label is the minimum of its own cluster
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for n, c in lab.items():
+        clusters[c].append(n)
+    for c, members in clusters.items():
+        assert c == min(members)
