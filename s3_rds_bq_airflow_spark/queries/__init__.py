@@ -29,5 +29,6 @@ from . import skewq  # noqa: E402,F401
 from . import statsq  # noqa: E402,F401
 from . import clusterq  # noqa: E402,F401
 from . import coverage  # noqa: E402,F401
+from . import funnelq  # noqa: E402,F401
 
 __all__ = ["all_queries", "all_oracles", "query"]
