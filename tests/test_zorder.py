@@ -1,0 +1,71 @@
+"""Z-order layout: every output file must cover a small bounding box
+in BOTH interleaved dimensions (that is the data-skipping property —
+min/max stats per file exclude most filters), unlike a single-column
+sort which only localizes one dimension.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from s3_rds_bq_airflow_spark.io.tables import load_table
+from s3_rds_bq_airflow_spark.operators.zorder import interleave_bits, zorder_write
+
+
+def _file_ranges(path, col_a, col_b):
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        t = pq.read_table(f, columns=[col_a, col_b])
+        a, b = t.column(col_a).to_pylist(), t.column(col_b).to_pylist()
+        spans.append(((max(a) - min(a)), (max(b) - min(b))))
+    return spans
+
+
+def test_interleave_bits_basics(spark):
+    rows = (
+        spark.range(1)
+        .select(
+            interleave_bits(F.lit(0), F.lit(0)).alias("z00"),
+            interleave_bits(F.lit(1), F.lit(0)).alias("z10"),
+            interleave_bits(F.lit(0), F.lit(1)).alias("z01"),
+            interleave_bits(F.lit(3), F.lit(3)).alias("z33"),
+        )
+        .collect()[0]
+    )
+    assert rows["z00"] == 0
+    assert rows["z10"] == 1  # a occupies even bit positions
+    assert rows["z01"] == 2  # b occupies odd bit positions
+    assert rows["z33"] == 15
+
+
+def test_zorder_files_cluster_both_dims(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("dim_a"),
+        (F.col("o_orderkey") % 1024).alias("dim_b"),
+        "o_totalprice",
+    )
+    n_files = 16
+    zpath = str(tmp_path / "zordered")
+    zorder_write(orders, zpath, cols=["dim_a", "dim_b"], n_files=n_files, bits=10)
+
+    # contrast: single-column range sort
+    spath = str(tmp_path / "single_sorted")
+    orders.repartitionByRange(n_files, "dim_a").sortWithinPartitions("dim_a").write.mode(
+        "overwrite"
+    ).parquet(spath)
+
+    z_spans = _file_ranges(zpath, "dim_a", "dim_b")
+    s_spans = _file_ranges(spath, "dim_a", "dim_b")
+    # z-order: BOTH dims localized per file; single sort: dim_b spans
+    # nearly the whole domain in every file
+    z_avg_b = sum(b for _a, b in z_spans) / len(z_spans)
+    s_avg_b = sum(b for _a, b in s_spans) / len(s_spans)
+    assert z_avg_b < s_avg_b * 0.6, (z_avg_b, s_avg_b)
+    z_avg_a = sum(a for a, _b in z_spans) / len(z_spans)
+    assert z_avg_a < 1024 * 0.6
+    # no data lost
+    assert spark.read.parquet(zpath).count() == orders.count()
