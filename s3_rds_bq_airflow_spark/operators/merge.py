@@ -50,6 +50,7 @@ def merge_upsert(
     keys: Sequence[str],
     *,
     source_order: Sequence[str] | None = None,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Upsert ``source`` rows into ``target`` by ``keys``.
 
@@ -58,9 +59,21 @@ def merge_upsert(
     `target_bigquery/core.py:552-560`); unmatched source rows are
     inserted; unmatched target rows pass through. If ``source_order``
     is given the source is first deduped to its latest row per key.
+
+    ``tombstone_col`` enables CDC delete semantics (the reference's
+    binlog path marks deletes with a non-null ``_sdc_deleted_at``,
+    `tap_mysql/sync_strategies/binlog.py:45-53`): a source row whose
+    tombstone column is non-null REMOVES the key instead of upserting
+    it. Dedup-then-delete ordering means a delete followed by a later
+    re-insert within one batch resolves to the re-insert (WHEN MATCHED
+    AND deleted THEN DELETE, applied on the latest row image).
     """
     if source_order:
         source = dedup_latest(source, keys, source_order)
+    if tombstone_col is not None:
+        deletes = source.where(F.col(tombstone_col).isNotNull()).select(*keys)
+        source = source.where(F.col(tombstone_col).isNull()).drop(tombstone_col)
+        target = target.join(deletes, on=list(keys), how="left_anti")
     value_cols = [c for c in target.columns if c not in keys]
     src = source.select(*keys, *[F.col(c).alias(f"__src_{c}") for c in value_cols])
     joined = target.join(src, on=list(keys), how="full_outer")

@@ -20,7 +20,7 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.merge import merge_upsert
@@ -32,16 +32,21 @@ def _apply_batch(
     target_path: str,
     keys: Sequence[str],
     order_cols: Sequence[str],
+    tombstone_col: str | None = None,
 ) -> None:
     if not batch.columns:
         return
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
-        merged = merge_upsert(target, batch, keys, source_order=order_cols)
+        merged = merge_upsert(
+            target, batch, keys, source_order=order_cols, tombstone_col=tombstone_col
+        )
     else:
         from ..operators.merge import dedup_latest
 
         merged = dedup_latest(batch, keys, order_cols)
+        if tombstone_col is not None:
+            merged = merged.where(F.col(tombstone_col).isNull()).drop(tombstone_col)
     tmp = target_path.rstrip("/") + "__sdc_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     # Atomic-enough swap for a local/HDFS path (one rename visible to
@@ -59,16 +64,18 @@ def stream_upsert_parquet(
     *,
     checkpoint_dir: str,
     available_now: bool = True,
+    tombstone_col: str | None = None,
 ) -> StreamingQuery:
     """Upsert a stream into a parquet target, latest-row-per-key.
 
     ``order_cols`` break ties within and across batches (end with a
-    unique column, e.g. the event id).
+    unique column, e.g. the event id). ``tombstone_col``: CDC delete
+    marker — a non-null value removes the key (binlog-shaped feeds).
     """
     spark = stream.sparkSession
 
     def do_batch(batch: DataFrame, batch_id: int) -> None:
-        _apply_batch(spark, batch, target_path, keys, order_cols)
+        _apply_batch(spark, batch, target_path, keys, order_cols, tombstone_col)
 
     writer = (
         stream.writeStream.foreachBatch(do_batch)

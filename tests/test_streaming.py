@@ -213,6 +213,27 @@ def test_stream_stream_interval_join(spark, landing_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_rocksdb_state_store(spark, landing_dir):
+    """The engine's streaming aggregations must run on the RocksDB
+    state store (the scale backend: state spills to local disk with
+    changelog checkpointing instead of living on the executor heap)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, landing_dir)
+        _run_to_memory(tumbling_event_counts(stream), "t_rocks", "complete")
+        total = spark.sql("SELECT SUM(n_events) AS s FROM t_rocks").collect()[0]["s"]
+        assert total == _batch_events(spark, landing_dir).count()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_running_user_totals_state(spark, landing_dir):
     """applyInPandasWithState across multiple micro-batches converges
     to the batch per-user totals (latest update per user wins)."""
