@@ -104,3 +104,40 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.col(duration_col).cast("long"), F.lit(every_n_seconds))
         ),
     )
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    stride_bytes: int = 128,
+) -> DataFrame:
+    """Frame sampling over an opaque media payload: slice the binary
+    into fixed-size windows every ``stride_bytes`` (the video analogue:
+    seek offsets -> decoded frames; here the byte slices THEMSELVES,
+    decode being stubbed in this environment).
+
+    Pure JVM expressions: ``sequence`` generates the offsets,
+    ``posexplode`` fans out one row per frame, ``substring`` slices
+    the payload. Payloads shorter than one frame yield no rows.
+    """
+    n = F.octet_length(F.col(payload_col))
+    offsets = F.sequence(F.lit(0), n - F.lit(frame_bytes), F.lit(stride_bytes))
+    return (
+        df.where(n >= F.lit(frame_bytes))
+        .select(
+            F.col(id_col),
+            F.posexplode(offsets).alias("frame_idx", "frame_offset"),
+            F.col(payload_col),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            "frame_offset",
+            F.substring(F.col(payload_col), F.col("frame_offset") + 1, F.lit(frame_bytes)).alias(
+                "frame"
+            ),
+        )
+    )

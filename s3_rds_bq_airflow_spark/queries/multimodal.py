@@ -68,3 +68,48 @@ def q_media_decode_stub(spark, sf_dir):
         F.size("feature").alias("feature_dim"),
         F.round(F.element_at("feature", 1), 6).alias("feat0_r6"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH payloads AS (
+        -- DuckDB substring doesn't slice BLOBs: slice the hex string
+        -- instead (2 hex chars per byte) — identical bytes either way
+        SELECT doc_id, LOWER(hex(encode(text))) AS payload_hex,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE doc_id % 25 = 0
+    ), frames AS (
+        SELECT doc_id,
+               unnest(generate_series(0, n_bytes - 256, 128)) AS frame_offset,
+               payload_hex
+        FROM payloads
+        WHERE n_bytes >= 256
+    )
+    SELECT doc_id,
+           CAST(frame_offset / 128 AS BIGINT) AS frame_idx,
+           CAST(frame_offset AS BIGINT) AS frame_offset,
+           MD5(substring(payload_hex, CAST(frame_offset AS INTEGER) * 2 + 1, 512)) AS frame_md5
+    FROM frames
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    """Frame sampling plumbing (video/audio shape): sequence ->
+    posexplode -> binary slice, one row per 256-byte frame at a
+    128-byte stride; frames identified by content digest. All JVM
+    expressions — the stubbed decode (q_media_decode_stub) consumes
+    exactly this fan-out shape."""
+    from ..operators.multimodal import sample_frames
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    frames = sample_frames(docs, frame_bytes=256, stride_bytes=128)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+        F.md5(F.lower(F.hex(F.col("frame")))).alias("frame_md5"),
+    )
