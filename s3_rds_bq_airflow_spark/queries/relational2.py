@@ -509,3 +509,154 @@ def q_argmax_join_back(spark, sf_dir):
     return cust.join(F.broadcast(pick), cust.c_custkey == pick.pick_key).select(
         "c_mktsegment", "c_custkey", "c_name", "c_acctbal"
     )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H-Q13 shape: customer distribution by order count — LEFT
+    join (zero-order customers count as 0) then a second aggregate
+    over the first's tiny output."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, CAST({_REV} AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H-Q15 shape: quarterly revenue 'view' per supplier, then
+    the supplier(s) achieving the maximum — the view reused twice
+    (aggregate + scalar max) without rescanning the fact table."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_rev().cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H-Q17 shape: lines below 20%% of their part's average
+    quantity — the correlated average becomes a per-part aggregate
+    joined back (exact decimal mean for a deterministic threshold)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = F.broadcast(t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11"))
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey, MIN(unit_cost) AS best_cost
+        FROM costs GROUP BY l_partkey
+    ), pick AS (
+        SELECT c.l_partkey, MIN(c.l_suppkey) AS best_suppkey
+        FROM costs c JOIN best b
+          ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+        GROUP BY c.l_partkey
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, b.best_cost
+    FROM pick
+      JOIN best b ON pick.l_partkey = b.l_partkey
+      JOIN part ON p_partkey = pick.l_partkey
+      JOIN supplier ON s_suppkey = pick.best_suppkey
+    WHERE p_size <= 5
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2 shape (no partsupp table: observed unit cost from
+    lineitem stands in for ps_supplycost): per part, the supplier with
+    the minimum unit cost — correlated-min + deterministic argmin
+    join-back, dimension joins broadcast."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    pick = (
+        costs.join(
+            best,
+            (costs.l_partkey == F.col("b_partkey")) & (costs.unit_cost == F.col("best_cost")),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("best_suppkey"), F.min("best_cost").alias("best_cost"))
+    )
+    part = F.broadcast(t(spark, sf_dir, "part").where(F.col("p_size") <= 5))
+    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    return (
+        pick.join(part, pick.l_partkey == part.p_partkey)
+        .join(supp, pick.best_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "best_cost")
+    )
