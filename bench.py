@@ -37,6 +37,9 @@ HEADLINE = [
     "q_session_window",
     "q_asof_join",
     "q_range_join",
+    "q_dedup_exact",
+    "q_cosine_topk_exact",
+    "q_token_topk",
 ]
 
 
