@@ -22,6 +22,7 @@ from .source import event_schema, read_event_stream, stage_as_files
 from .windows import sessionize, sliding_event_counts, tumbling_event_counts
 from .upsert import stream_upsert_parquet
 from .stateful import running_user_totals
+from .tws import running_user_totals_tws
 
 __all__ = [
     "event_schema",
@@ -32,4 +33,5 @@ __all__ = [
     "sessionize",
     "stream_upsert_parquet",
     "running_user_totals",
+    "running_user_totals_tws",
 ]

@@ -213,6 +213,52 @@ def test_stream_stream_interval_join(spark, landing_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_transform_with_state_totals(spark, landing_dir):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB
+    provider): converges to the same per-user totals as the
+    applyInPandasWithState implementation and the batch aggregate.
+    Requires protobuf (the state-server protocol) — skipped where
+    it isn't installed."""
+    pytest.importorskip("google.protobuf")
+    from s3_rds_bq_airflow_spark.streaming import running_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, landing_dir, max_files_per_trigger=2)
+        _run_to_memory(running_user_totals_tws(stream), "t_tws", "update")
+        updates = spark.sql("SELECT * FROM t_tws").toPandas()
+        got = (
+            updates.sort_values("n_events")
+            .groupby("user_id", as_index=False)
+            .last()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            _batch_events(spark, landing_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+            )
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["user_id", "n_events"]], want[["user_id", "n_events"]]
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_rocksdb_state_store(spark, landing_dir):
     """The engine's streaming aggregations must run on the RocksDB
     state store (the scale backend: state spills to local disk with
