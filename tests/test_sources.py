@@ -110,3 +110,18 @@ def test_jdbc_option_planning():
         )
     assert "MIN(o_orderkey)" in bounds_probe_query("orders", "o_orderkey")
     assert count_probe_query("orders", "o_totalprice > 0").startswith("(SELECT COUNT(*)")
+
+
+def test_csv_malformed_rows_permissive(spark, tmp_path):
+    """PERMISSIVE ingestion: a malformed line (missing fields) lands
+    as nulls instead of failing the job — count it for quality
+    reporting, don't die at row 3 of a 100 TB load."""
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as f:
+        f.write("a,b,c\n1,x,2.5\nBADROW\n3,y,9.9\n")
+    df = read_csv_bronze(spark, p, audit=False)
+    assert df.count() == 3
+    bad = df.where(F.col("b").isNull() & F.col("c").isNull())
+    assert bad.count() == 1
+    good = df.where(F.col("b").isNotNull())
+    assert {r["a"] for r in good.collect()} == {"1", "3"}
