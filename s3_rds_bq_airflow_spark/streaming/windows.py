@@ -88,3 +88,19 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — state
+    holds one entry per key only until the watermark passes it, so
+    memory is bounded by the lateness window, not the stream length.
+    The batch face of this is ``operators/dedup.exact_dedup``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -309,3 +309,50 @@ def test_running_user_totals_state(spark, landing_dir):
     pd.testing.assert_frame_equal(
         got[["user_id", "n_events"]], want_df[["user_id", "n_events"]]
     )
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event ids across micro-batches (within the watermark)
+    are emitted exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from s3_rds_bq_airflow_spark.streaming.windows import dedup_events
+
+    d = str(tmp_path / "dup_landing")
+    os.makedirs(d)
+
+    def write(path, ids, base_ts, mtime):
+        n = len(ids)
+        ts = pd.date_range(base_ts, periods=n, freq="1min")
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    write(os.path.join(d, "b0.parquet"), [1, 2, 3], "2024-01-02 10:00:00", now)
+    # batch 2 re-delivers ids 2 and 3 (at-least-once upstream) + new 4
+    write(os.path.join(d, "b1.parquet"), [2, 3, 4], "2024-01-02 10:30:00", now + 5)
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        dedup_events(stream, watermark="6 hours")
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM t_dedup_stream").collect()
+    )
+    assert got == [1, 2, 3, 4]
