@@ -178,3 +178,36 @@ def q_array_funcs(spark, sf_dir):
         F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 4).cast("double").alias("sorted4_last"),
         F.round(energy.cast("double"), 6).alias("head8_energy_r6"),
     )
+
+
+@query(
+    "q_monthly_trend",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS big_spenders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_monthly_trend(spark, sf_dir):
+    """Calendar-bucket trend (date_trunc month) with a FILTERed
+    distinct aggregate alongside plain ones — the everyday reporting
+    shape; at scale the month column doubles as the partition key."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+            ).alias("big_spenders"),
+        )
+    )
