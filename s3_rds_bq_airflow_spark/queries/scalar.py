@@ -195,3 +195,29 @@ def q_hash_funcs(spark, sf_dir):
         F.md5(F.col("c_name")).alias("name_md5"),
         F.substring(F.md5(F.concat_ws("/", "c_name", "c_mktsegment")), 1, 16).alias("composite_fp"),
     )
+
+
+@query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS key_digits,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS key_parsed,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           CAST(regexp_matches(c_mktsegment, '^(AUTO|BUIL)') AS BOOLEAN) AS seg_prefix_match
+    FROM customer
+    WHERE c_custkey % 30 = 0
+    """,
+)
+def q_regexp_funcs(spark, sf_dir):
+    """Regexp family: capture-group extraction, global replacement,
+    pattern predicates — all JVM-side (regexp_extract/replace/rlike),
+    the workhorses of the text-cleaning tier."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 30 == 0)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("key_digits"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("key_parsed"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+        F.col("c_mktsegment").rlike("^(AUTO|BUIL)").alias("seg_prefix_match"),
+    )
