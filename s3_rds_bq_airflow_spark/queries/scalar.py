@@ -221,3 +221,71 @@ def q_regexp_funcs(spark, sf_dir):
         F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
         F.col("c_mktsegment").rlike("^(AUTO|BUIL)").alias("seg_prefix_match"),
     )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           NULLIF(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS clicks,
+           NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchases
+    FROM events
+    WHERE user_id % 10 = 0
+    GROUP BY user_id
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """Map type family: build a real map<string,bigint> column
+    (collect_list -> map_from_entries) and read it back with
+    size/element_at — the oracle states the same scalars
+    relationally (missing key -> NULL on both sides)."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = (
+        counts.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+            ).alias("type_counts")
+        )
+    )
+    return mapped.select(
+        "user_id",
+        F.size("type_counts").alias("n_types"),
+        F.element_at("type_counts", "click").alias("clicks"),
+        F.element_at("type_counts", "purchase").alias("purchases"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           status_n IS DISTINCT FROM 'O' AS not_open_null_safe,
+           status_n IS NOT DISTINCT FROM NULL AS is_null_strict,
+           COALESCE(status_n, prio_n, 'NONE') AS first_non_null,
+           CAST(status_n = 'O' AS BOOLEAN) AS three_valued_eq
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status_n,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS prio_n
+        FROM orders
+    )
+    WHERE o_orderkey % 4 = 0
+    """,
+)
+def q_null_semantics(spark, sf_dir):
+    """Three-valued logic surface: null-safe (IS [NOT] DISTINCT FROM /
+    eqNullSafe) vs three-valued equality, coalesce chains — injected
+    nulls make every branch observable."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
+    status_n = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus"))
+    prio_n = F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        (~status_n.eqNullSafe(F.lit("O"))).alias("not_open_null_safe"),
+        status_n.eqNullSafe(F.lit(None)).alias("is_null_strict"),
+        F.coalesce(status_n, prio_n, F.lit("NONE")).alias("first_non_null"),
+        (status_n == "O").alias("three_valued_eq"),
+    )
