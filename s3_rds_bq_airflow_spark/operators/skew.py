@@ -80,7 +80,14 @@ def salted_join(
     left_salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the (skewed) left side, explode
-    the right side across all salt values, join on (key, salt)."""
+    the right side across all salt values, join on (key, salt).
+
+    Only left-preserving join types are valid: the right side is
+    replicated ``n_salt`` times, so right/full joins would emit
+    duplicate right rows.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join cannot preserve the replicated right side: how={how!r}")
     lx = left.withColumn("__salt", _salt(list(left_salt_cols or left.columns), n_salt))
     rx = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
