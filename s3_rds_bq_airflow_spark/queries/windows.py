@@ -137,3 +137,39 @@ def q_window_share(spark, sf_dir):
             (F.col("c_acctbal").cast("double") / nation_total).alias("balance_share"),
         )
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_orderkey % 6 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value with explicit frames —
+    last_value needs the full-partition frame (the default frame stops
+    at CURRENT ROW, a classic silent-wrong-answer; stated explicitly
+    on both sides)."""
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 6 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_totalprice").over(running).alias("first_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(running).alias("second_price"),
+        )
+    )
