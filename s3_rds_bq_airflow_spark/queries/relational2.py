@@ -660,3 +660,31 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(supp, pick.best_suppkey == supp.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "best_cost")
     )
+
+
+_Q100_SQL = """
+    SELECT n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           COUNT(DISTINCT o_custkey) AS active_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+@query("q_sql_surface", oracle=_Q100_SQL)
+def q_sql_surface(spark, sf_dir):
+    """The SQL surface as a first-class entry point: the IDENTICAL
+    ANSI SQL text runs on Spark (over registered views) and on the
+    DuckDB oracle — joins, year extraction, distinct and exact-decimal
+    aggregates, derived averages. One dialect, two engines, one
+    answer."""
+    from ..io.tables import register_views
+
+    register_views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_Q100_SQL)
