@@ -356,3 +356,59 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         r["event_id"] for r in spark.sql("SELECT event_id FROM t_dedup_stream").collect()
     )
     assert got == [1, 2, 3, 4]
+
+
+def test_stream_enrich_sees_refreshed_dimension(spark, tmp_path):
+    """foreachBatch enrichment re-reads the dimension per micro-batch:
+    after the dimension is updated between two runs of the stream, new
+    batches join against the NEW dimension rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from s3_rds_bq_airflow_spark.streaming.enrich import stream_enrich_parquet
+
+    d = str(tmp_path / "enrich_landing")
+    os.makedirs(d)
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt_enrich")
+
+    def write_events(path, ids, mtime):
+        n = len(ids)
+        ts = pd.date_range("2024-01-02 10:00:00", periods=n, freq="1min")
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([u % 3 for u in ids], pa.int64()),
+                "event_type": pa.array(["click"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    def write_dim(rows):
+        spark.createDataFrame(rows, ["user_id", "tier"]).write.mode("overwrite").parquet(dim_path)
+
+    now = time.time()
+    write_events(os.path.join(d, "e0.parquet"), [0, 1, 2], now)
+    write_dim([(0, "bronze"), (1, "bronze"), (2, "bronze")])
+
+    stream = read_event_stream(spark, d)
+    q = stream_enrich_parquet(
+        stream, dim_path, out, on=["user_id"], checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+
+    # dimension changes; a new file arrives; the stream resumes
+    write_dim([(0, "gold"), (1, "gold"), (2, "gold")])
+    write_events(os.path.join(d, "e1.parquet"), [3, 4, 5], now + 30)
+    q2 = stream_enrich_parquet(
+        read_event_stream(spark, d), dim_path, out, on=["user_id"], checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+
+    got = {r["event_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
+    assert {k: v for k, v in got.items() if k <= 2} == {0: "bronze", 1: "bronze", 2: "bronze"}
+    assert {k: v for k, v in got.items() if k >= 3} == {3: "gold", 4: "gold", 5: "gold"}
