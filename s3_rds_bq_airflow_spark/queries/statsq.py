@@ -174,3 +174,53 @@ def q_nearest_supplier(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), "dist2")
     )
+
+
+@query(
+    "q_quality_report",
+    oracle="""
+    WITH dirty AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 17 = 0 THEN -o_totalprice ELSE o_totalprice END AS price
+        FROM orders
+    )
+    SELECT 'status_not_null' AS rule,
+           CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS violation_rate
+    FROM dirty
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(SUM(CASE WHEN NOT (price > 0) THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           CAST(SUM(CASE WHEN NOT (price > 0) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    FROM dirty
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST(SUM(CASE WHEN status IS NULL OR status NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           CAST(SUM(CASE WHEN status IS NULL OR status NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    FROM dirty
+    """,
+)
+def q_quality_report(spark, sf_dir):
+    """Data-quality expectation report over deterministically dirtied
+    orders: per-rule violation counts/rates in one aggregate pass
+    (reference V1-V4 generalized to row-level contracts)."""
+    from ..operators.quality import expectation_report
+
+    o = t(spark, sf_dir, "orders")
+    dirty = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, None).otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("o_orderkey") % 17 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    return expectation_report(
+        dirty,
+        {
+            "status_not_null": F.col("status").isNotNull(),
+            "price_positive": F.col("price") > 0,
+            "status_in_domain": F.col("status").isin("O", "F", "P"),
+        },
+    )
