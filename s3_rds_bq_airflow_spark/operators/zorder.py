@@ -51,3 +51,20 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def interleave_bits_n(cols: Sequence[Column], *, bits: int = 16) -> Column:
+    """Morton code of N non-negative int columns (round-robin bit
+    interleave; column i occupies positions i, i+N, i+2N, ...). With
+    N*bits <= 63 the code fits a long."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("interleave at least two columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a 64-bit code")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z

@@ -69,3 +69,25 @@ def test_zorder_files_cluster_both_dims(spark, sf_dir, tmp_path):
     assert z_avg_a < 1024 * 0.6
     # no data lost
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_interleave_bits_n(spark):
+    from s3_rds_bq_airflow_spark.operators.zorder import interleave_bits_n
+    import pytest as _pytest
+
+    row = (
+        spark.range(1)
+        .select(
+            interleave_bits_n([F.lit(1), F.lit(0), F.lit(0)], bits=4).alias("a"),
+            interleave_bits_n([F.lit(0), F.lit(1), F.lit(0)], bits=4).alias("b"),
+            interleave_bits_n([F.lit(0), F.lit(0), F.lit(1)], bits=4).alias("c"),
+            interleave_bits_n([F.lit(3), F.lit(3), F.lit(3)], bits=4).alias("all3"),
+        )
+        .collect()[0]
+    )
+    assert (row["a"], row["b"], row["c"]) == (1, 2, 4)
+    assert row["all3"] == 0b111111  # two bits each, interleaved
+    with _pytest.raises(ValueError):
+        interleave_bits_n([F.lit(1)], bits=4)
+    with _pytest.raises(ValueError):
+        interleave_bits_n([F.lit(1)] * 5, bits=16)
