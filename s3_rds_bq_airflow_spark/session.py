@@ -44,7 +44,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Keep auto-broadcast at Spark's stock 10m: true dimensions are
+        # broadcast EXPLICITLY in queries; letting mid-size fact slices
+        # auto-broadcast serializes the probe pipeline into the scan
+        # stage (measured 1.4x slower on q3) and is exactly the plan
+        # that breaks first at 100 TB.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
         # Runtime bloom-filter join pruning: the probe side of a big
         # join is pre-filtered by a bloom filter built from the build
         # side's join keys — scan-side row-group skipping at 100 TB.
