@@ -224,3 +224,44 @@ def q_quality_report(spark, sf_dir):
             "status_in_domain": F.col("status").isin("O", "F", "P"),
         },
     )
+
+
+@query("q_haversine_nearest")
+def q_haversine_nearest(spark, sf_dir):
+    """Geolocation distance op (reference dataset's geolocation table
+    semantics, zip->lat/lng joins): nearest supplier by great-circle
+    distance over synthetic key-derived coordinates. All JVM trig, no
+    UDF. Rows-only: libm transcendentals aren't bit-portable across
+    engines — determinism within Spark is covered by the fixed
+    tie-break, and metric correctness by the euclidean twin
+    (q_nearest_supplier)."""
+    from pyspark.sql import Window as W
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(
+            "c_custkey",
+            F.radians((F.col("c_custkey") % 180 - 90).cast("double") * 0.9).alias("c_lat"),
+            F.radians((F.col("c_custkey") % 360 - 180).cast("double")).alias("c_lng"),
+        )
+    )
+    supp = F.broadcast(
+        t(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            F.radians((F.col("s_suppkey") % 180 - 90).cast("double") * 0.9).alias("s_lat"),
+            F.radians((F.col("s_suppkey") % 360 - 180).cast("double")).alias("s_lng"),
+        )
+    )
+    dlat = (F.col("s_lat") - F.col("c_lat")) / 2
+    dlng = (F.col("s_lng") - F.col("c_lng")) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(F.col("c_lat")) * F.cos(F.col("s_lat")) * F.sin(dlng) * F.sin(dlng)
+    dist_km = 2 * 6371.0 * F.asin(F.sqrt(a))
+    w = W.partitionBy("c_custkey").orderBy(F.col("dist_km"), F.col("s_suppkey"))
+    return (
+        cust.crossJoin(supp)
+        .withColumn("dist_km", dist_km)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), F.round("dist_km", 3).alias("dist_km_r3"))
+    )
