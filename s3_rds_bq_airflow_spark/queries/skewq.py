@@ -139,3 +139,43 @@ def q_json_unpack_view(spark, sf_dir):
         FROM raw_events_fixed
         """
     )
+
+
+@query(
+    "q_skew_detect",
+    oracle="""
+    WITH key_counts AS (
+        SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys,
+                      CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_cnt
+               FROM key_counts)
+    SELECT key, cnt,
+           CAST(cnt AS DOUBLE) / (SELECT total FROM tot) AS share,
+           CAST(cnt AS DOUBLE) / (SELECT mean_cnt FROM tot) AS x_mean
+    FROM key_counts
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def q_skew_detect(spark, sf_dir):
+    """Skew diagnostics: the top hot keys with their share of rows and
+    multiple-of-mean — the measurement that tells you WHICH keys need
+    salting (operators/skew) before a 100 TB shuffle, computed from
+    key-sized aggregates only."""
+    o = t(spark, sf_dir, "orders")
+    key_counts = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = key_counts.agg(
+        F.sum("cnt").alias("total"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt"),
+    )
+    return (
+        key_counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+            (F.col("cnt").cast("double") / F.col("mean_cnt")).alias("x_mean"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(10)
+    )
