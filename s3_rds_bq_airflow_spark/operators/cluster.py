@@ -68,3 +68,64 @@ def connected_components(
 def cluster_sizes(labels: DataFrame) -> DataFrame:
     """(cluster_id, cluster_size) from a component labeling."""
     return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank by power iteration, pure DataFrame ops.
+
+    Per round: contributions = rank/out_degree shipped along edges
+    (one shuffle join + one aggregate), dangling mass redistributed
+    uniformly, lineage cut with an eager localCheckpoint. Stops when
+    the L1 rank delta drops under ``tol`` (sum of ranks stays ~n).
+    Returns (id, rank).
+    """
+    n = nodes.count()
+    out_deg = edges.groupBy(F.col(src_col).alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select(F.col(id_col).alias("id"), F.lit(1.0).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        with_deg = ranks.join(out_deg, "id", "left")
+        contribs = (
+            edges.join(
+                with_deg.where(F.col("out_deg").isNotNull()).select(
+                    F.col("id").alias(src_col), (F.col("rank") / F.col("out_deg")).alias("c")
+                ),
+                src_col,
+            )
+            .groupBy(F.col(dst_col).alias("id"))
+            .agg(F.sum("c").alias("in_c"))
+        )
+        dangling = (
+            with_deg.where(F.col("out_deg").isNull()).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        new_ranks = (
+            ranks.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * (F.coalesce(F.col("in_c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        delta = (
+            ranks.join(new_ranks.withColumnRenamed("rank", "new_rank"), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("new_rank"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol * n:
+            break
+    return ranks
