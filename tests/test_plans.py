@@ -115,6 +115,18 @@ def test_star_joins_broadcast_dimensions(q):
         assert_max_shuffles(df, 1)
 
 
+def test_correlated_shapes_bounded_shuffles(q):
+    """The correlated-subquery rewrites stay bounded: per-part/
+    per-supplier aggregates + join-backs never explode into extra
+    exchanges."""
+    assert_max_shuffles(q("q13_order_distribution"), 2)
+    assert_max_shuffles(q("q15_top_supplier"), 3)
+    assert_max_shuffles(q("q17_small_quantity"), 2)
+    assert_max_shuffles(q("q2_min_cost_supplier"), 4)
+    assert_max_shuffles(q("q_monthly_trend"), 2)
+    assert_pushed_filter(q("q_monthly_trend"), "o_orderdate")
+
+
 def test_pushdown_report_nonempty_across_catalog(q):
     """Filters declared next to scans stay pushed for the selective
     relational queries (spot inventory, not exhaustive)."""
