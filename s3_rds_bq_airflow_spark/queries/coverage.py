@@ -211,3 +211,37 @@ def q_monthly_trend(spark, sf_dir):
             ).alias("big_spenders"),
         )
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_price
+    FROM orders
+    WHERE SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 2) <=
+          CASE o_orderstatus WHEN 'O' THEN '0c' WHEN 'F' THEN '1f' ELSE '7f' END
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum rates (~5% of
+    open orders, ~12% of filled, ~50% of the rare partial class) via
+    content-hash thresholds — the class-balancing sampler for training
+    sets, reproducible across engines/runs/partitionings unlike
+    sampleBy(rand)."""
+    o = t(spark, sf_dir, "orders")
+    threshold = (
+        F.when(F.col("o_orderstatus") == "O", "0c")
+        .when(F.col("o_orderstatus") == "F", "1f")
+        .otherwise("7f")
+    )
+    return (
+        o.where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= threshold)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("o_totalprice").alias("sampled_price"),
+        )
+    )
