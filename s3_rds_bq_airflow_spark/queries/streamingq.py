@@ -107,3 +107,51 @@ def q_stream_sessionize(spark, sf_dir):
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q_stream_exactly_once",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_distinct_ids,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def q_stream_exactly_once(spark, sf_dir):
+    """Exactly-once over an at-least-once feed, executed by the
+    streaming engine: the landing directory contains a DUPLICATE
+    redelivery of one arrival file (same rows, new file name — the
+    classic upstream retry); dropDuplicatesWithinWatermark must yield
+    exactly the original table's aggregate."""
+    import shutil
+
+    from ..streaming import read_event_stream, stage_as_files
+    from ..streaming.windows import dedup_events
+
+    landing = tempfile.mkdtemp(prefix="stream_eo_")
+    paths = stage_as_files(os.path.join(sf_dir, "events.parquet"), landing, n_files=3)
+    dup = os.path.join(landing, "part-redelivered.parquet")
+    shutil.copyfile(paths[1], dup)
+    os.utime(dup, (os.path.getmtime(paths[-1]) + 5,) * 2)
+
+    table = f"stream_eo_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, landing, max_files_per_trigger=2)
+    deduped = dedup_events(stream, keys=["event_id"], watermark="10 days")
+    # post-dedup the stream carries unique event_ids, so plain COUNT
+    # equals the oracle's COUNT(DISTINCT) — streaming forbids exact
+    # distinct aggregation (unbounded state).
+    agg = deduped.groupBy().agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.lit(1)).alias("n_distinct_ids"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table)
