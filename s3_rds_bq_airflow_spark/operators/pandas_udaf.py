@@ -64,3 +64,58 @@ def grouped_ols(
         )
 
     return df.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(fit, out_schema)
+
+
+def cogrouped_asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    right_value: str,
+) -> DataFrame:
+    """Cogrouped-map surface (``cogroup().applyInPandas``): both
+    inputs shuffle on the key once; each key's pair of pandas frames
+    meets in one Python worker — here running ``pd.merge_asof``
+    (backward, strict) as the pandas twin of
+    ``operators/temporal.asof_join``. Use the JVM as-of for scale;
+    this is the template for per-key logic that genuinely needs
+    pandas (and the test pins the two implementations equal).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(left_time, T.TimestampType()),
+            T.StructField(f"asof_{right_value}", T.DoubleType()),
+        ]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_time)
+        if rpdf.empty:
+            out = lpdf[[key_col, left_time]].copy()
+            out[f"asof_{right_value}"] = None
+            return out
+        rpdf = rpdf.sort_values(right_time)
+        merged = pd.merge_asof(
+            lpdf[[key_col, left_time]],
+            rpdf[[right_time, right_value]],
+            left_on=left_time,
+            right_on=right_time,
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return pd.DataFrame(
+            {
+                key_col: merged[key_col],
+                left_time: merged[left_time],
+                f"asof_{right_value}": merged[right_value],
+            }
+        )
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(merge, out_schema)
+    )
