@@ -132,3 +132,19 @@ def test_pushdown_report_nonempty_across_catalog(q):
     relational queries (spot inventory, not exhaustive)."""
     for name in ("q_semi_join", "q_anti_join", "q_union_distinct"):
         assert pushed_filters(q(name)), f"{name} lost all scan pushdown"
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Catalog-wide guard: NO declared query may plan a
+    CartesianProduct — every intentional cross join must broadcast its
+    one-row/small side (BroadcastNestedLoopJoin). A cartesian of two
+    distributed relations is never acceptable at scale."""
+    from s3_rds_bq_airflow_spark.plans.inspect import plan_nodes
+
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("q_stream"):
+            continue  # streaming queries execute, no static plan here
+        if "CartesianProduct" in plan_nodes(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, offenders
