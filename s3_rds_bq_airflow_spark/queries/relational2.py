@@ -688,3 +688,57 @@ def q_sql_surface(spark, sf_dir):
 
     register_views(spark, sf_dir, "orders", "customer", "nation")
     return spark.sql(_Q100_SQL)
+
+
+@query(
+    "q20_supplier_share",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_suppkey, 
+               CAST(SUM(CASE WHEN p_name LIKE '%widget%'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS widget_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, widget_qty, total_qty,
+           widget_qty / total_qty AS widget_share
+    FROM supplier JOIN per_part ON s_suppkey = l_suppkey
+    WHERE widget_qty > 0.25 * total_qty
+    ORDER BY widget_share DESC, s_suppkey
+    LIMIT 15
+    """,
+)
+def q20_supplier_share(spark, sf_dir):
+    """TPC-H-Q20 shape: suppliers whose shipped volume concentrates in
+    one product family (>25% widgets) — nested conditional aggregate
+    feeding a filtered join, the classic HAVING-on-derived-ratio
+    plan (one fact shuffle, part and supplier broadcast)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    per_supp = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("p_name").like("%widget%"), dec("l_quantity")).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("widget_qty"),
+            F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+        .where(F.col("widget_qty") > 0.25 * F.col("total_qty"))
+    )
+    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "widget_qty",
+            "total_qty",
+            (F.col("widget_qty") / F.col("total_qty")).alias("widget_share"),
+        )
+        .orderBy(F.desc("widget_share"), F.asc("s_suppkey"))
+        .limit(15)
+    )
