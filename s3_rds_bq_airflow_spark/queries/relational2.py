@@ -742,3 +742,43 @@ def q20_supplier_share(spark, sf_dir):
         .orderBy(F.desc("widget_share"), F.asc("s_suppkey"))
         .limit(15)
     )
+
+
+@query(
+    "q_exists_combo",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (
+            SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                                 JOIN part ON l_partkey = p_partkey
+            WHERE o_custkey = c_custkey AND p_name LIKE '%widget%')
+      AND NOT EXISTS (
+            SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                                 JOIN part ON l_partkey = p_partkey
+            WHERE o_custkey = c_custkey AND p_type = 'PROMO')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_exists_combo(spark, sf_dir):
+    """TPC-H-Q21 shape (chained quantifiers): customers who bought
+    widgets but NEVER promo-class parts — a semi join and an anti join
+    over the same buyer->part derivation, which is computed once and
+    reused for both quantifiers."""
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type"))
+    buyer_parts = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select("o_custkey", "p_name", "p_type")
+    )
+    widget_buyers = buyer_parts.where(F.col("p_name").like("%widget%")).select("o_custkey").distinct()
+    promo_buyers = buyer_parts.where(F.col("p_type") == "PROMO").select("o_custkey").distinct()
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.join(widget_buyers, cust.c_custkey == widget_buyers.o_custkey, "left_semi")
+        .join(promo_buyers, cust.c_custkey == promo_buyers.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -173,3 +173,26 @@ def q_window_first_last(spark, sf_dir):
             F.nth_value("o_totalprice", 2).over(running).alias("second_price"),
         )
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS bal_percent_rank,
+           CUME_DIST()    OVER (ORDER BY s_acctbal, s_suppkey) AS bal_cume_dist
+    FROM supplier
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution ranking (percent_rank / cume_dist) over a global
+    ordering — fine for a dimension table; on a fact table the global
+    ORDER BY single-partition window is the anti-pattern and the
+    grouped forms (q_ntile per segment) are the scale shape."""
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("bal_percent_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
