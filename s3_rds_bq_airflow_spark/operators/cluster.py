@@ -46,7 +46,6 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iterations):
         msgs = bidir.join(labels, bidir.src == labels.id).select(
             F.col("dst").alias("id"), "cluster_id"
@@ -57,11 +56,21 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        # Fixpoint = no label changed this round. Counting changed
+        # rows (capped at 1) works for ANY orderable id type — the
+        # previous sum(cluster_id) probe returned NULL for string ids,
+        # making round 1 look converged and silently emitting
+        # non-transitive clusters.
+        changed = (
+            labels.withColumnRenamed("cluster_id", "__prev")
+            .join(new_labels, "id")
+            .where(~F.col("__prev").eqNullSafe(F.col("cluster_id")))
+            .limit(1)
+            .count()
+        )
         labels = new_labels
-        if new_sum == prev_sum:  # labels only ever decrease; equal sum = fixpoint
+        if changed == 0:
             return labels
-        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} rounds")
 
 

@@ -17,10 +17,11 @@ run-metadata upsert, `supabase-bq.py:216-235`).
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io.atomic import swap_directory
 
 _FNS = {"sum": F.sum, "min": F.min, "max": F.max}
 
@@ -63,7 +64,5 @@ def incremental_aggregate(
         merged = update
     tmp = state_path.rstrip("/") + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_path):
-        shutil.rmtree(state_path)
-    os.replace(tmp, state_path)
+    swap_directory(tmp, state_path)
     return spark.read.parquet(state_path)

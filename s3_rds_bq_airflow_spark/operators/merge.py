@@ -75,9 +75,18 @@ def merge_upsert(
         source = source.where(F.col(tombstone_col).isNull()).drop(tombstone_col)
         target = target.join(deletes, on=list(keys), how="left_anti")
     value_cols = [c for c in target.columns if c not in keys]
-    src = source.select(*keys, *[F.col(c).alias(f"__src_{c}") for c in value_cols])
+    # Presence marker, not coalesce: matched rows must take EVERY
+    # source column including NULLs (WHEN MATCHED UPDATE SET every
+    # column) — coalesce(__src_c, c) would keep the stale target value
+    # whenever a CDC update sets a column to NULL.
+    src = source.select(
+        *keys,
+        F.lit(True).alias("__src_present"),
+        *[F.col(c).alias(f"__src_{c}") for c in value_cols],
+    )
     joined = target.join(src, on=list(keys), how="full_outer")
     resolved = [
-        F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c) for c in value_cols
+        F.when(F.col("__src_present"), F.col(f"__src_{c}")).otherwise(F.col(c)).alias(c)
+        for c in value_cols
     ]
     return joined.select(*keys, *resolved)

@@ -41,35 +41,45 @@ def asof_join(
     ``on`` key. Right payload columns come back as ``{suffix}{col}``
     (null when no prior right row exists — left-outer semantics).
     """
-    carried = [f"{suffix}{c}" for c in right_values]
+    from pyspark.sql.types import StructField, StructType
+
     # tag: right rows sort before left rows at equal time for
     # inclusive (<=) semantics, after them for strict (<).
     right_tag, left_tag = (1, 0) if strict else (0, 1)
+    # The whole right payload travels as ONE struct so a single
+    # last(ignorenulls=True) carries the latest right row atomically
+    # — per-column carries would stitch fields from DIFFERENT right
+    # rows whenever the most recent row holds a NULL in one payload
+    # column (DuckDB ASOF JOIN takes the matched row as-is, NULLs
+    # included).
+    rv_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_values]
+    )
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(right_tag).alias("__tag"),
-        *[F.col(c).alias(f"{suffix}{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("__rv"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(  # noqa: E741
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(left_tag).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{suffix}{c}") for c in right_values],
+        F.lit(None).cast(rv_type).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     # The tag ordering encodes the inequality: for strict (<) a right
     # row at the same __t sorts AFTER the left row and falls outside
     # the frame; for inclusive (<=) it sorts before and is carried.
     w = W.partitionBy("__k").orderBy("__t", "__tag").rowsBetween(W.unboundedPreceding, 0)
-    combined = l.unionByName(r)
-    for c in carried:
-        combined = combined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    combined = l.unionByName(r).withColumn(
+        "__rv", F.last("__rv", ignorenulls=True).over(w)
+    )
     out = combined.where(F.col("__tag") == left_tag)
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col(c) for c in carried],
+        *[F.col(f"__rv.{c}").alias(f"{suffix}{c}") for c in right_values],
     )
 
 

@@ -9,7 +9,7 @@ Import side effects populate the registry; ``all_queries()`` /
 ``all_oracles()`` are what ``__spark_entry__.py`` re-exports.
 """
 
-from .registry import all_oracles, all_queries, query
+from .registry import all_oracles, all_queries, deprioritize, query
 
 # Import for registration side effects.
 from . import relational  # noqa: E402,F401
@@ -30,5 +30,64 @@ from . import statsq  # noqa: E402,F401
 from . import clusterq  # noqa: E402,F401
 from . import coverage  # noqa: E402,F401
 from . import funnelq  # noqa: E402,F401
+
+# Names with a green driver-side row in CORRECTNESS_r01.json (rows /
+# schema / hash all pass, or a recorded rows-only check). The driver
+# verifies in iteration order and caps its batch at ~49 entries per
+# round, so these enumerate LAST to surface not-yet-verified queries
+# first. q_math_funcs is intentionally absent: its round-1 row was a
+# hash FAIL (decimal-vs-double) — fixed since, needs a fresh row.
+_DRIVER_GREEN_R01 = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q_semi_join",
+    "q_anti_join",
+    "q_topk_customers",
+    "q_distinct_agg",
+    "q_approx_distinct",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_reconcile_counts",
+    "q_dedup_latest",
+    "q_window_running",
+    "q_window_rank",
+    "q_window_moving",
+    "q_window_share",
+    "q_window_first_last",
+    "q_window_distribution",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_json_funcs",
+    "q_case_expr",
+    "q_hash_funcs",
+    "q_regexp_funcs",
+    "q_map_funcs",
+    "q_null_semantics",
+    "q_sanitize_columns",
+    "q_bronze_silver_roundtrip",
+    "q_audit_stamping",
+    "q_null_normalize",
+    "q_merge_upsert",
+    "q_incremental_watermark",
+    "q_full_copy_verified",
+    "q_tolerant_reconcile",
+    "q_token_stats",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_exact_planted",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_cosine_topk_exact",
+)
+deprioritize(_DRIVER_GREEN_R01)
 
 __all__ = ["all_queries", "all_oracles", "query"]

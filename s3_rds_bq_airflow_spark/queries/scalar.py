@@ -89,7 +89,7 @@ def q_date_funcs(spark, sf_dir):
     "q_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ABS(CAST(l_extendedprice AS DECIMAL(18,2)) - 1000) AS price_minus_1k,
+           CAST(ABS(CAST(l_extendedprice AS DECIMAL(18,2)) - 1000) AS DOUBLE) AS price_minus_1k,
            CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
            CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
            l_linenumber % 3 AS line_mod3,
@@ -107,7 +107,7 @@ def q_math_funcs(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(dec("l_extendedprice") - 1000).alias("price_minus_1k"),
+        F.abs(dec("l_extendedprice") - 1000).cast("double").alias("price_minus_1k"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         (F.col("l_linenumber") % 3).alias("line_mod3"),

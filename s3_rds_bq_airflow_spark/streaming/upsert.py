@@ -17,12 +17,12 @@ On Delta/Iceberg the body of ``_apply_batch`` collapses to
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..io.atomic import swap_directory
 from ..operators.merge import merge_upsert
 
 
@@ -49,11 +49,7 @@ def _apply_batch(
             merged = merged.where(F.col(tombstone_col).isNull()).drop(tombstone_col)
     tmp = target_path.rstrip("/") + "__sdc_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    # Atomic-enough swap for a local/HDFS path (one rename visible to
-    # readers); object stores would use a manifest/table format commit.
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.replace(tmp, target_path)
+    swap_directory(tmp, target_path)
 
 
 def stream_upsert_parquet(

@@ -66,3 +66,71 @@ def test_full_copy_and_watermark(spark):
     wm = next_watermark(df, "ts")
     sliced = incremental_since(df, "ts", str(wm))
     assert sliced.count() == 1  # inclusive watermark: at-least-once re-read
+
+
+def test_merge_upsert_source_null_overwrites(spark):
+    """A matched source row carrying NULL must overwrite the target
+    value (WHEN MATCHED UPDATE SET every column) — CDC updates that
+    null a column out must not silently keep the stale value."""
+    target = spark.createDataFrame([(1, "stale", 10), (2, "keep", 20)], ["k", "v", "n"])
+    source = spark.createDataFrame([(1, None, None)], "k int, v string, n int")
+    out = {r["k"]: (r["v"], r["n"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: (None, None), 2: ("keep", 20)}
+
+
+def test_asof_join_null_payload_atomic(spark):
+    """The latest right row is carried ATOMICALLY: a NULL in one of
+    its payload columns must surface as NULL, not be backfilled from
+    an older right row (DuckDB ASOF JOIN takes the row as-is)."""
+    from s3_rds_bq_airflow_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "old"), (1, 20, None, "new")],
+        "k int, t int, price double, tag string",
+    )
+    left = spark.createDataFrame([(1, 30)], "k int, t int")
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_values=["t", "price", "tag"], strict=False,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # latest right row is (t=20, price=NULL, tag='new') — price must
+    # NOT come from the t=10 row.
+    assert r["asof_t"] == 20 and r["asof_price"] is None and r["asof_tag"] == "new"
+
+
+def test_connected_components_string_ids(spark):
+    """Convergence detection must work for non-numeric ids: the chain
+    a-b, b-c, c-d needs >1 round to reach the transitive closure."""
+    from s3_rds_bq_airflow_spark.operators.cluster import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("z",)], ["id"])
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["id_a", "id_b"]
+    )
+    labels = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
+
+def test_swap_directory_crash_safety(tmp_path):
+    """Every crash point of the rename-aside swap leaves a readable
+    current-or-previous version recoverable via recover_directory."""
+    from s3_rds_bq_airflow_spark.io.atomic import recover_directory, swap_directory
+
+    target = str(tmp_path / "state")
+    tmp = str(tmp_path / "state__tmp")
+
+    os.makedirs(target)
+    open(os.path.join(target, "v1"), "w").close()
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "v2"), "w").close()
+    swap_directory(tmp, target)
+    assert os.path.exists(os.path.join(target, "v2"))
+    assert not os.path.exists(target + "__sdc_old")
+
+    # simulate a crash between rename-aside and promote: target
+    # missing, __sdc_old present -> recover restores the old version.
+    os.replace(target, target + "__sdc_old")
+    assert recover_directory(target) == target
+    assert os.path.exists(os.path.join(target, "v2"))

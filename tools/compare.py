@@ -45,8 +45,13 @@ def canon(v) -> str:
             return "NULL"
         return repr(v)
     if isinstance(v, Decimal):
-        # Scale-insensitive: 1.50 and 1.5 canonicalize identically.
-        return repr(float(v))
+        # Scale-SENSITIVE: 1.50 != 1.5. The driver's value hash is
+        # type/scale-sensitive (q_math_funcs round-1 lesson), so the
+        # local gate must be at least as strict. Declared queries
+        # should avoid raw-decimal outputs entirely (cast to double
+        # per queries/_util.py convention) — this branch existing at
+        # all means a query leaked a decimal.
+        return f"DEC:{v}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, bool):
