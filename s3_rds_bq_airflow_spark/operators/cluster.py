@@ -138,3 +138,71 @@ def pagerank(
         if delta is not None and delta < tol * n:
             break
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation.
+
+    Connected components answers "what is transitively linked";
+    label propagation answers the softer "what clusters DENSELY" —
+    communities in co-occurrence / interaction graphs (the natural
+    next step after dedup edges: near-dup families vs. topical
+    groups). Each round every node adopts the most frequent label
+    among its neighbors AND itself (the self-vote damps the classic
+    synchronous-LPA oscillation on bipartite structures); ties break
+    to the smallest label, so the whole algorithm is deterministic —
+    no random visit order, unlike textbook asynchronous LPA.
+
+    Per round: one shuffle join (ship labels along edges) + one
+    (node, label) count + one per-node top-1 window — all key-
+    partitioned, nothing collected to the driver except the 1-row
+    convergence probe. Lineage cut per round with eager
+    localCheckpoint. Returns (id, label) at fixpoint or after
+    ``max_iterations`` rounds (LPA is not guaranteed to reach a
+    fixpoint; the cap is part of the algorithm's contract, not an
+    error — unlike connected_components which must converge).
+    """
+    from pyspark.sql import Window as W
+
+    bidir = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        votes = bidir.join(labels, bidir.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        tally = (
+            votes.unionByName(labels)  # self-vote
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = W.partitionBy("id").orderBy(F.col("n").desc(), F.col("label").asc())
+        new_labels = (
+            tally.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "label")
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.withColumnRenamed("label", "__prev")
+            .join(new_labels, "id")
+            .where(~F.col("__prev").eqNullSafe(F.col("label")))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -68,3 +68,74 @@ def interleave_bits_n(cols: Sequence[Column], *, bits: int = 16) -> Column:
             bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
     return z
+
+
+def with_hilbert_index(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    bits: int = 16,
+    out: str = "__h",
+) -> DataFrame:
+    """Hilbert curve index of two non-negative int columns.
+
+    Same data-skipping role as the Morton code, strictly better
+    locality: the Hilbert curve has no Morton "seams" (adjacent codes
+    are always adjacent cells), so range-partitioned files get
+    tighter bounding boxes — measurably fewer files read under 2-D
+    range filters at the same file count.
+
+    The classic xy2d walk is data-dependent (conditional reflect +
+    swap per level), which as a single Column expression would double
+    in size every level; instead each level materializes its rotated
+    (x, y) as real projected columns, keeping the plan linear in
+    ``bits``. Still pure JVM bit/conditional expressions — codegen'd,
+    no UDF.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert index interleaves exactly two columns")
+    xc, yc, dc = f"{out}_x", f"{out}_y", out
+    work = df.withColumn(xc, F.col(cols[0]).cast("long")).withColumn(
+        yc, F.col(cols[1]).cast("long")
+    ).withColumn(dc, F.lit(0).cast("long"))
+    for i in range(bits - 1, 0, -1) if bits > 1 else []:
+        s = 1 << i
+        rx = F.when(F.col(xc).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col(yc).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        x1 = F.when(flip, F.lit(s - 1) - F.col(xc)).otherwise(F.col(xc))
+        y1 = F.when(flip, F.lit(s - 1) - F.col(yc)).otherwise(F.col(yc))
+        work = (
+            work.withColumn(dc, F.col(dc) + F.lit(s) * F.lit(s) * ((rx * 3).bitwiseXOR(ry)))
+            .withColumn("__hx_next", F.when(swap, y1).otherwise(x1))
+            .withColumn(yc, F.when(swap, x1).otherwise(y1))
+            .withColumn(xc, F.col("__hx_next"))
+            .drop("__hx_next")
+        )
+    # Last level (s=1): no rotation needed after accumulating d.
+    rx = F.when(F.col(xc).bitwiseAND(F.lit(1)) > 0, F.lit(1)).otherwise(F.lit(0))
+    ry = F.when(F.col(yc).bitwiseAND(F.lit(1)) > 0, F.lit(1)).otherwise(F.lit(0))
+    work = work.withColumn(dc, F.col(dc) + (rx * 3).bitwiseXOR(ry))
+    return work.drop(xc, yc)
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """``zorder_write`` with a Hilbert code: range-partition + sort on
+    the Hilbert index so every file is a contiguous curve segment —
+    a compact, seam-free box in (cols[0], cols[1]) space."""
+    (
+        with_hilbert_index(df, cols, bits=bits)
+        .repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

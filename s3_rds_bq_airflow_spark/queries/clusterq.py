@@ -58,3 +58,42 @@ def q_dedup_clusters(spark, sf_dir):
         labels.join(sizes, "cluster_id")
         .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
     )
+
+
+@query(
+    "q_label_propagation",
+    oracle="""
+    SELECT c_custkey,
+           MIN(c_custkey) OVER (
+               PARTITION BY c_nationkey, c_mktsegment
+           ) AS label
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def q_label_propagation(spark, sf_dir):
+    """Community detection by deterministic synchronous label
+    propagation (`operators/cluster.py::label_propagation`). The graph
+    is a disjoint union of cliques — customers fully linked within
+    (nation, segment) — where LPA's fixpoint is provably the minimum
+    member id per clique (round 1: every vote set is the clique's
+    distinct labels, tie-break picks the min; round 2: stable). The
+    oracle states that closed form declaratively; equality proves the
+    vote / tie-break / convergence machinery. Community recovery on
+    non-clique planted graphs is pinned in tests/test_operators.py."""
+    from ..operators.cluster import label_propagation
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    labels = label_propagation(c.select(F.col("c_custkey").alias("id")), edges)
+    return labels.select(F.col("id").alias("c_custkey"), "label")

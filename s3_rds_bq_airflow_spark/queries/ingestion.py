@@ -10,7 +10,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F, types as T
 
-from ..ingest import sanitize_columns, to_bronze, to_silver, with_audit_column
+from ..ingest import (
+    sanitize_columns,
+    silver_from_jsonschema,
+    to_bronze,
+    to_silver,
+    unpack_fixed,
+    with_audit_column,
+    wrap_fixed,
+)
 from .registry import query
 from ._util import dec, dsum, t
 
@@ -166,4 +174,197 @@ def q_null_normalize(spark, sf_dir):
         F.col("o_orderstatus").alias("status_filled"),
         F.col("o_totalprice").alias("price_filled"),
         "price_was_null",
+    )
+
+
+@query(
+    "q_jsonschema_silver",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_orderdate,
+           CAST(SUM(o_orderkey % 5) AS DOUBLE) / COUNT(*) AS avg_prio_rank,
+           CAST(SUM(2) AS BIGINT) AS n_tags
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_jsonschema_silver(spark, sf_dir):
+    """JSON-schema -> Spark type translation end-to-end (SURVEY §1.3
+    Layer B/C; `tap_mysql/discover_utils.py:241-299`,
+    `target_bigquery/core.py:1076-1097,806-820`): an all-string bronze
+    frame is silvered via a JSON-schema spec exercising integer
+    byte-width bounds (int32 custkey, uint8 prio_rank), decimal
+    ``multipleOf`` (price -> DECIMAL scale 2), ``date-time`` format,
+    nested object -> struct and array -> repeated — then aggregated.
+    The oracle computes the same values from the typed table directly:
+    equality proves the translation is lossless."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    typed = o.select(
+        "o_orderkey",
+        "o_custkey",
+        dec("o_totalprice").alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderstatus",
+        F.to_json(
+            F.struct(
+                F.col("o_orderpriority").alias("prio_label"),
+                (F.col("o_orderkey") % 5).alias("prio_rank"),
+                F.array("o_orderstatus", "o_orderpriority").alias("tags"),
+            )
+        ).alias("payload"),
+    )
+    bronze = to_bronze(typed)
+    silver = silver_from_jsonschema(
+        bronze,
+        {
+            "properties": {
+                "o_orderkey": {
+                    "type": ["null", "integer"],
+                    "minimum": -(2**63),
+                    "maximum": 2**63 - 1,
+                },
+                "o_custkey": {
+                    "type": ["null", "integer"],
+                    "minimum": -(2**31),
+                    "maximum": 2**31 - 1,
+                },
+                "o_totalprice": {"type": ["null", "number"], "multipleOf": 0.01},
+                "o_orderdate": {"type": ["null", "string"], "format": "date-time"},
+                "o_orderstatus": {"type": ["null", "string"], "maxLength": 1},
+                "payload": {
+                    "type": ["null", "object"],
+                    "properties": {
+                        "prio_label": {"type": ["null", "string"]},
+                        "prio_rank": {
+                            "type": ["null", "integer"],
+                            "minimum": 0,
+                            "maximum": 255,
+                        },
+                        "tags": {
+                            "type": "array",
+                            "items": {"type": ["null", "string"]},
+                        },
+                    },
+                },
+            }
+        },
+    )
+    return silver.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custkeys"),
+        F.sum("o_totalprice").cast("double").alias("sum_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "min_orderdate"
+        ),
+        F.avg("payload.prio_rank").alias("avg_prio_rank"),
+        F.sum(F.size("payload.tags")).cast("long").alias("n_tags"),
+    )
+
+
+@query(
+    "q_fixed_wrap_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+           MAX(s_name) AS max_name,
+           CAST(COUNT(*) AS BIGINT) AS n_stamped,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_sequence
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_fixed_wrap_roundtrip(spark, sf_dir):
+    """"Fixed" ingestion mode wrap -> unpack roundtrip
+    (`target_bigquery/core.py:448-465` preprocess_record +
+    `core.py:765-790` generated view): supplier rows are wrapped as a
+    single ``data`` JSON column + ``_sdc_*`` lineage (deterministic
+    stamps — sequence = suppkey, fixed extract time), then unpacked
+    through the JSON-schema-translated StructType and aggregated.
+    Equality with the plain-table oracle proves the fixed encoding is
+    lossless, including float round-trip through JSON text."""
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        dec("s_acctbal").alias("s_acctbal"),
+    )
+    wrapped = wrap_fixed(
+        s,
+        meta={
+            "_sdc_extracted_at": F.to_timestamp(F.lit("2026-01-01 00:00:00")),
+            "_sdc_sequence": F.col("s_suppkey"),
+            "_sdc_table_version": F.lit(1),
+        },
+    )
+    unpacked = unpack_fixed(
+        wrapped,
+        {
+            "properties": {
+                "s_suppkey": {
+                    "type": ["null", "integer"],
+                    "minimum": -(2**63),
+                    "maximum": 2**63 - 1,
+                },
+                "s_name": {"type": ["null", "string"]},
+                "s_nationkey": {
+                    "type": ["null", "integer"],
+                    "minimum": -(2**31),
+                    "maximum": 2**31 - 1,
+                },
+                "s_acctbal": {"type": ["null", "number"], "multipleOf": 0.01},
+            }
+        },
+        keep_meta=True,
+    )
+    return unpacked.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("s_acctbal").cast("double").alias("sum_acctbal"),
+        F.max("s_name").alias("max_name"),
+        F.count("_sdc_extracted_at").cast("long").alias("n_stamped"),
+        F.min("_sdc_sequence").cast("long").alias("min_sequence"),
+    )
+
+
+@query(
+    "q_ts_serialization",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN strftime(ts, '%f') = '000000'
+                THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00'
+                ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00'
+           END AS ts_iso,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') || 'T00:00:00+00:00' AS date_iso,
+           strftime(ts, '%H:%M:%S') AS time_hms
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+)
+def q_ts_serialization(spark, sf_dir):
+    """Singer row-serialization parity (`tap_mysql/sync_strategies/
+    common.py:97-110`): datetime -> ``isoformat()+'+00:00'``
+    (microseconds emitted only when non-zero, Python isoformat
+    semantics), date -> ``isoformat()+'T00:00:00+00:00'``, and
+    TIME-typed values -> ``'HH:MM:SS'`` — the reference's signature
+    row encoding, mirrored in DuckDB via strftime."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    frac = F.date_format("ts", "SSSSSS")
+    return e.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.when(frac != "000000", F.concat(F.lit("."), frac)).otherwise(
+                F.lit("")
+            ),
+            F.lit("+00:00"),
+        ).alias("ts_iso"),
+        F.concat(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd"),
+            F.lit("T00:00:00+00:00"),
+        ).alias("date_iso"),
+        F.date_format("ts", "HH:mm:ss").alias("time_hms"),
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.copy import full_copy, incremental_since
 from ..operators.merge import merge_upsert
 from ..operators.reconcile import count_reconciliation
+from ..operators.retention import expire_partitions
 from .registry import query
 from ._util import dec, dsum, t, ts_str
 
@@ -143,4 +144,84 @@ def q_tolerant_reconcile(spark, sf_dir):
             "dst_cnt",
             (F.col("dst_cnt") >= 0.9 * F.col("src_cnt")).cast("long").alias("gate_passed"),
         )
+    )
+
+
+@query(
+    "q_partition_retention",
+    oracle="""
+    SELECT STRFTIME(o_orderdate, '%Y') AS p_year,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY p_year
+    """,
+)
+def q_partition_retention(spark, sf_dir):
+    """M7 tail: partition expiration by policy (the reference's
+    ``partition_expiration_days`` on time partitioning,
+    `target_bigquery/core.py:468-487`). Orders are laid out
+    ``partitionBy(year)``, partitions strictly older than the cutoff
+    are dropped as whole directories (no row rewrites — the only
+    retention shape that works at 100 TB), and the surviving table is
+    aggregated. The oracle filters the source by the same cutoff:
+    equality proves expiry dropped exactly the right partitions."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "p_year", F.date_format("o_orderdate", "yyyy")
+    )
+    table_dir = os.path.join(
+        tempfile.mkdtemp(prefix="engine_retention_"), "orders_by_year"
+    )
+    o.write.partitionBy("p_year").parquet(table_dir)
+    expire_partitions(
+        spark, table_dir, "p_year", cutoff="1998", granularity="year"
+    )
+    retained = spark.read.parquet(table_dir)
+    return retained.groupBy(F.col("p_year").cast("string").alias("p_year")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "q_hilbert_layout",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_partkey,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_suppkey
+    FROM lineitem
+    WHERE l_orderkey % 25 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_hilbert_layout(spark, sf_dir):
+    """M7 layout, Hilbert variant (`operators/zorder.py`): rewrite a
+    lineitem slice range-partitioned on the Hilbert code of
+    (l_partkey, l_suppkey) — each output file a seam-free 2-D box for
+    min/max data skipping — then read the layout back and aggregate.
+    The oracle aggregates the source directly: equality proves the
+    curve rewrite is a pure permutation (no row lost, duplicated, or
+    mutated). Locality itself is pinned in tests/test_zorder.py."""
+    from ..operators.zorder import hilbert_write
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 25 == 0)
+    path = os.path.join(tempfile.mkdtemp(prefix="engine_hilbert_"), "lineitem_hilbert")
+    hilbert_write(
+        li.withColumn("__hx", F.col("l_partkey") % 4096)
+        .withColumn("__hy", F.col("l_suppkey") % 4096)
+        .select(*li.columns, "__hx", "__hy"),
+        path,
+        cols=["__hx", "__hy"],
+        n_files=8,
+        bits=12,
+    )
+    laid = spark.read.parquet(path)
+    return laid.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.min("l_partkey").cast("long").alias("min_partkey"),
+        F.max("l_suppkey").cast("long").alias("max_suppkey"),
     )

@@ -265,3 +265,65 @@ def q_haversine_nearest(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), F.round("dist_km", 3).alias("dist_km_r3"))
     )
+
+
+@query(
+    "q_nearest_supplier_bucketed",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+               CAST(c_custkey % 360 - 180 AS DOUBLE) AS lng
+        FROM customer WHERE c_custkey % 25 = 0
+    ), s AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey % 180 - 90 AS DOUBLE) AS lat,
+               CAST(s_suppkey % 360 - 180 AS DOUBLE) AS lng
+        FROM supplier
+    ), d AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.lat - s.lat) * (c.lat - s.lat) + (c.lng - s.lng) * (c.lng - s.lng) AS dist2,
+               ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY (c.lat - s.lat) * (c.lat - s.lat)
+                                         + (c.lng - s.lng) * (c.lng - s.lng),
+                                           s.s_suppkey) AS rn
+        FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, dist2 FROM d WHERE rn = 1
+    """,
+)
+def q_nearest_supplier_bucketed(spark, sf_dir):
+    """The scale-safe form of q_nearest_supplier: grid-cell equi-join
+    + 3x3 neighbor probe (operators/geo.py) instead of a broadcast
+    nested loop. Same oracle as the brute-force twin — the bucketed
+    path must return the IDENTICAL nearest neighbor (exactness is
+    guaranteed by the cell geometry plus a brute-force residue for
+    sparse regions). This removes round-1's one flagged scale caveat:
+    the supplier dim no longer needs to be broadcastable."""
+    from ..operators.geo import grid_nearest_neighbor
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 25 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 180 - 90).cast("double").alias("c_lat"),
+            (F.col("c_custkey") % 360 - 180).cast("double").alias("c_lng"),
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 180 - 90).cast("double").alias("s_lat"),
+        (F.col("s_suppkey") % 360 - 180).cast("double").alias("s_lng"),
+    )
+    return grid_nearest_neighbor(
+        cust,
+        supp,
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        left_coords=("c_lat", "c_lng"),
+        right_coords=("s_lat", "s_lng"),
+        cell=16.0,
+    ).select("c_custkey", "nearest_s_suppkey", "dist2").withColumnRenamed(
+        "nearest_s_suppkey", "nearest_suppkey"
+    )

@@ -134,3 +134,36 @@ def test_swap_directory_crash_safety(tmp_path):
     os.replace(target, target + "__sdc_old")
     assert recover_directory(target) == target
     assert os.path.exists(os.path.join(target, "v2"))
+
+
+def test_label_propagation_planted_communities(spark):
+    from s3_rds_bq_airflow_spark.operators.cluster import label_propagation
+
+    # Two 4-cliques joined by ONE bridge edge: connected components
+    # would merge them; LPA must keep two communities (the bridge vote
+    # is always outnumbered by in-community votes).
+    c1, c2 = [1, 2, 3, 4], [10, 11, 12, 13]
+    edges = (
+        [(a, b) for a in c1 for b in c1 if a < b]
+        + [(a, b) for a in c2 for b in c2 if a < b]
+        + [(4, 10)]
+    )
+    nodes = spark.createDataFrame([(i,) for i in c1 + c2], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["label"] for r in label_propagation(nodes, e).collect()}
+    assert all(got[i] == 1 for i in c1)
+    assert all(got[i] == 10 for i in c2)
+
+
+def test_label_propagation_deterministic_and_capped(spark):
+    from s3_rds_bq_airflow_spark.operators.cluster import label_propagation
+
+    # Bipartite path — the classic synchronous-LPA oscillator. The
+    # self-vote + cap must still terminate with a deterministic
+    # labeling (two identical runs agree exactly).
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    e = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
+    r1 = sorted(label_propagation(nodes, e, max_iterations=5).collect())
+    r2 = sorted(label_propagation(nodes, e, max_iterations=5).collect())
+    assert r1 == r2
+    assert all(r["label"] is not None for r in r1)

@@ -91,3 +91,54 @@ def test_interleave_bits_n(spark):
         interleave_bits_n([F.lit(1)], bits=4)
     with _pytest.raises(ValueError):
         interleave_bits_n([F.lit(1)] * 5, bits=16)
+
+
+def _xy2d(order_bits: int, x: int, y: int) -> int:
+    """Reference Hilbert xy->d walk (public-domain textbook form)."""
+    d, s = 0, 1 << (order_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_reference_walk(spark):
+    from s3_rds_bq_airflow_spark.operators.zorder import with_hilbert_index
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["__h"]
+        for r in with_hilbert_index(df, ["x", "y"], bits=3).collect()
+    }
+    assert got == {(x, y): _xy2d(3, x, y) for x, y in pts}
+    # The curve is a permutation of the grid...
+    assert sorted(got.values()) == list(range(64))
+    # ...and consecutive codes are ALWAYS adjacent cells (the Hilbert
+    # property Morton lacks — no seams).
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(63):
+        (x0, y0), (x1, y1) = by_d[d], by_d[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_hilbert_write_boxes_both_dims(spark, tmp_path):
+    from s3_rds_bq_airflow_spark.operators.zorder import hilbert_write
+
+    df = spark.createDataFrame(
+        [(i % 64, (i * 37) % 64) for i in range(4096)], ["a", "b"]
+    )
+    path = str(tmp_path / "hilbert")
+    hilbert_write(df, path, cols=["a", "b"], n_files=16, bits=6)
+    spans = _file_ranges(path, "a", "b")
+    assert len(spans) >= 8
+    # Every file covers a fraction of both dimensions' full range.
+    assert max(sa for sa, _ in spans) < 48 and max(sb for _, sb in spans) < 48
+    # Content preserved.
+    assert spark.read.parquet(path).count() == 4096
