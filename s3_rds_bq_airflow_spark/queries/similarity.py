@@ -210,3 +210,33 @@ def q_knn_join(spark, sf_dir):
     probes = emb.where(F.col("vec_id") % 100 == 0)
     out = knn_join(emb, probes, 3, exact=True)
     return out.select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+@query("q_cosine_ann_ivf")
+def q_cosine_ann_ivf(spark, sf_dir):
+    """IVF ANN top-k (`operators/ivf.py`): 16 k-means cells fit with
+    2 deterministic Lloyd rounds, probe the 4 best cells, exact
+    re-rank inside them — the inverted-list family next to the LSH
+    path, with recall directly tunable by n_probe. Rows-only
+    (iterative fit isn't SQL-expressible); self-checking via
+    in_exact_topk against the brute-force answer, and full-probe ==
+    brute-force is pinned in tests/test_ivf.py."""
+    from ..operators.ivf import ivf_assign, ivf_fit, ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+    centroids = ivf_fit(emb, n_centroids=16, n_iters=2)
+    assigned = ivf_assign(emb, centroids)
+    ann = ivf_topk(assigned, centroids, qv, k=_TOPK, n_probe=4)
+    exact = brute_force_topk(emb, qv, _TOPK, exact=False).select(
+        F.col("vec_id").alias("exact_id")
+    )
+    return (
+        ann.join(exact, ann["vec_id"] == exact["exact_id"], "left")
+        .select(
+            "vec_id",
+            F.round("cosine", 6).alias("cosine_r6"),
+            F.col("exact_id").isNotNull().cast("long").alias("in_exact_topk"),
+        )
+        .orderBy(F.desc("cosine_r6"), "vec_id")
+    )

@@ -179,3 +179,58 @@ def q_skew_detect(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(10)
     )
+
+
+@query(
+    "q_histogram_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity / 1.0) AS INT) + 1 AS bin,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, bin,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+        FROM b
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * total) THEN bin - 1 END) AS DOUBLE) AS p50_est,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin - 1 END) AS DOUBLE) AS p95_est
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable quantile STATE (`operators/histogram.py`) — the
+    sketch tier of incremental aggregation: percentiles from
+    key-sized histogram state instead of per-group sorts. The query
+    builds state from two disjoint batch slices and MERGES them (the
+    incremental-maintenance path the driver can actually check),
+    then estimates p50/p95. A t-digest was considered and rejected:
+    centroid merges are order-dependent, violating the engine's
+    bit-stable contract — histogram bin counts are exact sums, and
+    the whole estimator is SQL-expressible, so the oracle mirrors
+    bins + cumulative rank declaratively."""
+    from ..operators.histogram import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    halves = [
+        histogram_state(
+            li.where(F.col("l_orderkey") % 2 == r),
+            ["l_returnflag"],
+            "l_quantity",
+            lo=0.0,
+            hi=64.0,
+            n_bins=64,
+        )
+        for r in (0, 1)
+    ]
+    merged = merge_histogram_states(halves, ["l_returnflag"])
+    return histogram_quantiles(merged, ["l_returnflag"], [0.5, 0.95], lo=0.0, hi=64.0)
