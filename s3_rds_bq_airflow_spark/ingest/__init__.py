@@ -2,6 +2,8 @@ from .sanitize import clean_column_name, derive_table_name, sanitize_columns
 from .audit import with_audit_column, with_lineage_columns
 from .bronze_silver import to_bronze, to_silver
 from .jsonschema import (
+    jsonschema_for_struct,
+    property_for_spark_type,
     silver_from_jsonschema,
     spark_type_for_property,
     struct_for_jsonschema,

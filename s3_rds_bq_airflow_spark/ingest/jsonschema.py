@@ -34,6 +34,8 @@ __all__ = [
     "spark_type_for_property",
     "struct_for_jsonschema",
     "silver_from_jsonschema",
+    "jsonschema_for_struct",
+    "property_for_spark_type",
 ]
 
 # Signed two's-complement bounds per byte width — the inverse of the
@@ -130,6 +132,71 @@ def struct_for_jsonschema(schema: dict) -> T.StructType:
             for name, p in schema.get("properties", {}).items()
         ]
     )
+
+
+_INT_EMIT: dict[type, int] = {
+    T.ByteType: 1,
+    T.ShortType: 2,
+    T.IntegerType: 4,
+    T.LongType: 8,
+}
+
+
+def property_for_spark_type(typ: T.DataType) -> dict:
+    """DISCOVERY direction: Spark type -> JSON-schema property dict,
+    mirroring the tap's emission (`discover_utils.py:241-299`) so a
+    round trip ``spark_type_for_property(property_for_spark_type(t))``
+    is the identity on the supported lattice. Integral types emit the
+    signed byte-width bounds exactly as the tap does; decimals emit
+    ``multipleOf = 10^-scale``; timestamps/dates emit string +
+    format."""
+    if isinstance(typ, T.BooleanType):
+        return {"type": ["null", "boolean"]}
+    if type(typ) in _INT_EMIT:
+        bits = _INT_EMIT[type(typ)] * 8
+        return {
+            "type": ["null", "integer"],
+            "minimum": -(2 ** (bits - 1)),
+            "maximum": 2 ** (bits - 1) - 1,
+        }
+    if isinstance(typ, T.DecimalType):
+        if typ.scale == 0 and typ.precision >= 20:
+            # The unsigned-bigint widening emitted by the forward map.
+            return {"type": ["null", "integer"], "minimum": 0, "maximum": 2**64 - 1}
+        return {"type": ["null", "number"], "multipleOf": 10**-typ.scale}
+    if isinstance(typ, (T.DoubleType, T.FloatType)):
+        return {"type": ["null", "number"]}
+    if isinstance(typ, T.TimestampType) or isinstance(typ, T.TimestampNTZType):
+        return {"type": ["null", "string"], "format": "date-time"}
+    if isinstance(typ, T.DateType):
+        return {"type": ["null", "string"], "format": "date"}
+    if isinstance(typ, T.BinaryType):
+        return {"type": ["null", "string"], "format": "binary"}
+    if isinstance(typ, T.StructType):
+        return {
+            "type": ["null", "object"],
+            "properties": {
+                f.name: property_for_spark_type(f.dataType) for f in typ.fields
+            },
+        }
+    if isinstance(typ, T.ArrayType):
+        return {
+            "type": ["null", "array"],
+            "items": property_for_spark_type(typ.elementType),
+        }
+    return {"type": ["null", "string"]}
+
+
+def jsonschema_for_struct(struct: T.StructType) -> dict:
+    """Whole-schema discovery emission: StructType ->
+    ``{"type": "object", "properties": {...}}`` — what the tap writes
+    into the Singer catalog for a stream."""
+    return {
+        "type": "object",
+        "properties": {
+            f.name: property_for_spark_type(f.dataType) for f in struct.fields
+        },
+    }
 
 
 def _cast_expr(col: Column, typ: T.DataType) -> Column:

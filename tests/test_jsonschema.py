@@ -188,3 +188,49 @@ def test_fixed_roundtrip_and_view(spark):
     spark.sql(sql)
     got = spark.sql("SELECT id, s, v FROM fixed_v ORDER BY id").collect()
     assert [(r["id"], r["s"], r["v"]) for r in got] == [(7, "x", 1.5), (8, None, -2.25)]
+
+
+def test_discovery_roundtrip_identity():
+    from s3_rds_bq_airflow_spark.ingest import (
+        jsonschema_for_struct,
+        property_for_spark_type,
+    )
+
+    # Forward(Back(t)) == t on the supported lattice.
+    lattice = [
+        T.BooleanType(),
+        T.ByteType(),
+        T.ShortType(),
+        T.IntegerType(),
+        T.LongType(),
+        T.DoubleType(),
+        T.DecimalType(38, 2),
+        T.TimestampType(),
+        T.DateType(),
+        T.BinaryType(),
+        T.StringType(),
+        T.ArrayType(T.LongType(), True),
+        T.StructType([T.StructField("k", T.DoubleType(), True)]),
+    ]
+    for typ in lattice:
+        prop = property_for_spark_type(typ)
+        back = spark_type_for_property(prop)
+        if isinstance(typ, T.DecimalType):
+            # Scale survives; precision normalizes to the translator's 38.
+            assert isinstance(back, T.DecimalType) and back.scale == typ.scale
+        else:
+            assert back == typ, typ
+    # Unsigned-bigint widening round-trips through its bounds emission.
+    assert spark_type_for_property(
+        property_for_spark_type(T.DecimalType(20, 0))
+    ) == T.DecimalType(20, 0)
+    # Whole-struct emission matches the per-field one.
+    st = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    schema = jsonschema_for_struct(st)
+    assert schema["type"] == "object"
+    assert set(schema["properties"]) == {"a", "b"}
