@@ -43,6 +43,11 @@ from . import funnelq  # noqa: E402,F401
 # q_math_funcs is intentionally in tier 1: its round-1 row was a hash
 # FAIL (decimal-vs-double) — fixed since, needs a fresh row.
 _DEFER_NONGREEN = (
+    # Round-2 additions whose operator family already has green rows
+    # (scalar / movement); novel-family round-2 queries stay in tier 1.
+    "q_geojson_points",
+    "q_uuid_deterministic",
+    "q_format_matrix",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",

@@ -225,3 +225,51 @@ def q_hilbert_layout(spark, sf_dir):
         F.min("l_partkey").cast("long").alias("min_partkey"),
         F.max("l_suppkey").cast("long").alias("max_suppkey"),
     )
+
+
+@query(
+    "q_format_matrix",
+    oracle="""
+    SELECT fmt,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_orderdate,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    CROSS JOIN (SELECT UNNEST(['jsonl', 'orc']) AS fmt)
+    WHERE o_orderkey % 10 = 0
+    GROUP BY fmt
+    """,
+)
+def q_format_matrix(spark, sf_dir):
+    """Source/sink format matrix beyond parquet+CSV (`io/formats`):
+    the same orders slice round-trips through ORC (columnar twin) and
+    JSON Lines (the Singer wire shape, explicit schema — never
+    inference), then aggregates per format. Equality with the
+    plain-source oracle proves both paths are lossless, including
+    timestamp text round-trip through JSON."""
+    from ..io.formats import read_format, write_format
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    base = tempfile.mkdtemp(prefix="engine_formats_")
+    legs = []
+    for fmt, name in (("json", "jsonl"), ("orc", "orc")):
+        path = os.path.join(base, name)
+        write_format(o, path, fmt)
+        back = read_format(spark, path, fmt, schema=o.schema)
+        legs.append(
+            back.groupBy(F.lit(name).alias("fmt")).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_totalprice").cast("double").alias("sum_price"),
+                F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "min_orderdate"
+                ),
+                F.countDistinct("o_orderstatus").alias("n_statuses"),
+            )
+        )
+    return legs[0].unionByName(legs[1])

@@ -289,3 +289,97 @@ def q_null_semantics(spark, sf_dir):
         F.coalesce(status_n, prio_n, F.lit("NONE")).alias("first_non_null"),
         (status_n == "O").alias("three_valued_eq"),
     )
+
+
+@query(
+    "q_geojson_points",
+    oracle="""
+    WITH g AS (
+        SELECT s_suppkey,
+               '{"type":"Point","coordinates":['
+                 || CAST(s_suppkey % 360 - 180 AS VARCHAR) || ','
+                 || CAST(s_suppkey % 180 - 90 AS VARCHAR) || ']}' AS geojson
+        FROM supplier
+    )
+    SELECT s_suppkey, geojson,
+           json_extract_string(geojson, '$.type') AS geom_type,
+           CAST(json_extract_string(geojson, '$.coordinates[0]') AS BIGINT) AS lng_back,
+           CAST(json_extract_string(geojson, '$.coordinates[1]') AS BIGINT) AS lat_back
+    FROM g
+    """,
+)
+def q_geojson_points(spark, sf_dir):
+    """F6 spatial -> JSON: the reference rewrites spatial columns to
+    GeoJSON in scan projections (`tap_mysql` discovery ST_AsGeoJSON,
+    SURVEY S17/F6 — marked n/a in round 1 because neither dataset
+    carries spatial columns; synthetic key-derived coordinates close
+    the gap). Emits RFC-7946 Point features as text and proves the
+    encoding is parseable by extracting type + coordinates back via
+    JSON-path on both engines. Integer-valued coordinates keep the
+    text rendering engine-portable."""
+    s = t(spark, sf_dir, "supplier")
+    geojson = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        (F.col("s_suppkey") % 360 - 180).cast("string"),
+        F.lit(","),
+        (F.col("s_suppkey") % 180 - 90).cast("string"),
+        F.lit("]}"),
+    )
+    return s.select(
+        "s_suppkey",
+        geojson.alias("geojson"),
+        F.get_json_object(geojson, "$.type").alias("geom_type"),
+        F.get_json_object(geojson, "$.coordinates[0]").cast("long").alias("lng_back"),
+        F.get_json_object(geojson, "$.coordinates[1]").cast("long").alias("lat_back"),
+    )
+
+
+# UUIDv3 bit surgery: nibble 13 is the version ('3' = name-based MD5),
+# nibble 17 carries the variant ((n & 0x3) | 0x8 -> 8/9/a/b).
+_UUID_VARIANT_SQL = """CASE WHEN SUBSTRING(h, 17, 1) IN ('0','4','8','c') THEN '8'
+         WHEN SUBSTRING(h, 17, 1) IN ('1','5','9','d') THEN '9'
+         WHEN SUBSTRING(h, 17, 1) IN ('2','6','a','e') THEN 'a'
+         ELSE 'b' END"""
+
+
+@query(
+    "q_uuid_deterministic",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_orderkey, MD5('orders:' || CAST(o_orderkey AS VARCHAR)) AS h
+        FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey,
+           SUBSTRING(h, 1, 8) || '-' || SUBSTRING(h, 9, 4) || '-3'
+             || SUBSTRING(h, 14, 3) || '-' || {_UUID_VARIANT_SQL}
+             || SUBSTRING(h, 18, 3) || '-' || SUBSTRING(h, 21, 12) AS row_uuid
+    FROM m
+    """,
+)
+def q_uuid_deterministic(spark, sf_dir):
+    """F8 UUID, determinized: the reference's `uuid.uuid4()` row ids
+    are unverifiable by construction; the engine's form is a
+    name-based UUIDv3 (RFC 4122: MD5 of a namespace:key name, version
+    nibble 3, variant bits 10xx) — same format, replayable, so the
+    driver CAN hash-check it. Pure JVM md5/substring expressions."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    h = F.md5(F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string")))
+    m = o.select("o_orderkey", h.alias("h"))
+    n17 = F.substring("h", 17, 1)
+    variant = (
+        F.when(n17.isin("0", "4", "8", "c"), "8")
+        .when(n17.isin("1", "5", "9", "d"), "9")
+        .when(n17.isin("2", "6", "a", "e"), "a")
+        .otherwise("b")
+    )
+    return m.select(
+        "o_orderkey",
+        F.concat(
+            F.substring("h", 1, 8), F.lit("-"),
+            F.substring("h", 9, 4), F.lit("-3"),
+            F.substring("h", 14, 3), F.lit("-"),
+            variant,
+            F.substring("h", 18, 3), F.lit("-"),
+            F.substring("h", 21, 12),
+        ).alias("row_uuid"),
+    )

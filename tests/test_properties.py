@@ -141,3 +141,54 @@ def test_connected_components_edges_share_label(spark, edges):
         clusters[c].append(n)
     for c, members in clusters.items():
         assert c == min(members)
+
+
+# --- JSON-schema translation laws (pure Python — no Spark jobs) ---
+
+_scalar_props = st.sampled_from(
+    [
+        {"type": ["null", "boolean"]},
+        {"type": ["null", "integer"]},
+        {"type": ["null", "integer"], "minimum": -(2**31), "maximum": 2**31 - 1},
+        {"type": ["null", "integer"], "minimum": 0, "maximum": 2**16 - 1},
+        {"type": ["null", "number"]},
+        {"type": ["null", "number"], "multipleOf": 0.001},
+        {"type": ["null", "string"]},
+        {"type": ["null", "string"], "format": "date-time"},
+        {"type": ["null", "string"], "format": "date"},
+        {"type": ["null", "string"], "format": "binary"},
+    ]
+)
+
+_props = st.recursive(
+    _scalar_props,
+    lambda inner: st.one_of(
+        st.fixed_dictionaries(
+            {"type": st.just(["null", "array"]), "items": inner}
+        ),
+        st.builds(
+            lambda ps: {"type": ["null", "object"], "properties": ps},
+            st.dictionaries(
+                st.sampled_from(["a", "b", "c"]), inner, min_size=1, max_size=3
+            ),
+        ),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(prop=_props)
+def test_jsonschema_translation_total_and_stable(prop):
+    """Translation never raises, is deterministic, and re-translating
+    its own discovery emission is a fixpoint (B->C->B->C = B->C)."""
+    from s3_rds_bq_airflow_spark.ingest import (
+        property_for_spark_type,
+        spark_type_for_property,
+    )
+
+    t1 = spark_type_for_property(prop)
+    assert t1 == spark_type_for_property(prop)
+    emitted = property_for_spark_type(t1)
+    t2 = spark_type_for_property(emitted)
+    assert t2 == spark_type_for_property(property_for_spark_type(t2))

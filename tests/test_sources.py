@@ -125,3 +125,33 @@ def test_csv_malformed_rows_permissive(spark, tmp_path):
     assert bad.count() == 1
     good = df.where(F.col("b").isNotNull())
     assert {r["a"] for r in good.collect()} == {"1", "3"}
+
+
+def test_format_matrix_roundtrips(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from s3_rds_bq_airflow_spark.io.formats import read_format, write_format
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("k")
+    )
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_format(df, path, fmt)
+        back = read_format(spark, path, fmt, schema=df.schema)
+        assert back.count() == 100
+        assert back.agg(F.sum("id")).collect()[0][0] == 4950
+
+
+def test_row_formats_require_schema(spark, tmp_path):
+    import pytest
+
+    from s3_rds_bq_airflow_spark.io.formats import read_format, write_format
+
+    df = spark.range(3)
+    path = str(tmp_path / "j")
+    write_format(df, path, "json")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_format(spark, path, "json")
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_format(df, str(tmp_path / "x"), "avro")
