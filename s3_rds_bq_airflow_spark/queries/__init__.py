@@ -48,6 +48,7 @@ _DEFER_NONGREEN = (
     "q_geojson_points",
     "q_uuid_deterministic",
     "q_format_matrix",
+    "q_schema_evolution",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",

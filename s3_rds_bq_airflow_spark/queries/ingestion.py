@@ -368,3 +368,42 @@ def q_ts_serialization(spark, sf_dir):
         ).alias("date_iso"),
         F.date_format("ts", "HH:mm:ss").alias("time_hms"),
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 3 <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_status,
+           CAST(SUM(CASE WHEN o_orderkey % 3 <> 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_key
+    FROM orders
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution across ingest batches (`ingest/evolve.py` —
+    the explicit form of the reference's per-batch BigQuery
+    autodetect, `rds-to-bq.py:287-294`): three batches with drifting
+    schemas — a column missing, a column added, the key type widening
+    long -> double — union under the evolved schema with NULL
+    backfill. The oracle recomputes from the un-drifted source:
+    equality proves evolution loses nothing and widens exactly."""
+    from ..ingest.evolve import evolved_union
+
+    o = t(spark, sf_dir, "orders")
+    b1 = o.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "o_orderstatus")
+    b2 = o.where(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderkey").cast("double").alias("o_orderkey"),
+        dec("o_totalprice").alias("o_totalprice"),
+    )
+    b3 = o.where(F.col("o_orderkey") % 3 == 2).select(
+        "o_orderkey", "o_orderstatus", dec("o_totalprice").alias("o_totalprice")
+    )
+    evolved = evolved_union([b1, b2, b3])
+    return evolved.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").cast("long").alias("n_status"),
+        F.sum("o_totalprice").cast("double").alias("sum_price"),
+        F.max("o_orderkey").cast("double").alias("max_key"),
+    )
