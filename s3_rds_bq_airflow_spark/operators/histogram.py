@@ -31,6 +31,7 @@ __all__ = [
     "histogram_state",
     "merge_histogram_states",
     "histogram_quantiles",
+    "incremental_histogram",
 ]
 
 
@@ -137,3 +138,36 @@ def histogram_quantiles(
         for q in quantiles
     ]
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def incremental_histogram(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fold one batch into persisted histogram state (the sketch tier
+    of ``incremental_agg.incremental_aggregate``): read state, merge
+    the batch's partial, atomically swap. Each refresh costs
+    O(|batch| + |state|) — percentile dashboards over unbounded
+    history without ever re-scanning it. Also the foreachBatch body
+    for the streaming path (see tests/test_histogram.py)."""
+    import os
+
+    from ..io.atomic import swap_directory
+
+    update = histogram_state(batch, keys, value_col, lo=lo, hi=hi, n_bins=n_bins)
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        merged = merge_histogram_states([state, update], keys)
+    else:
+        merged = update
+    tmp = state_path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap_directory(tmp, state_path)
+    return spark.read.parquet(state_path)

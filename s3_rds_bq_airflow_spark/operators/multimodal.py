@@ -141,3 +141,179 @@ def sample_frames(
             ),
         )
     )
+
+
+# --- Real decoders for container formats parseable without media
+# libraries (pure struct/numpy): 24-bit uncompressed BMP and 16-bit
+# PCM WAV. These replace the stub for their formats; everything else
+# (JPEG/PNG/MP4/...) genuinely needs external codecs and stays
+# stubbed above.
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decode_status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decode_status", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Decode a 24-bit uncompressed bottom-up BMP: (width, height,
+    mean_r, mean_g, mean_b). Raises ValueError on anything else."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pixel_off + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+    ).reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    # Stored BGR; bottom-up unless height < 0 — orientation doesn't
+    # change channel means, so no flip needed for these features.
+    means = rows.reshape(-1, 3).mean(axis=0)
+    return width, h, float(means[2]), float(means[1]), float(means[0])
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float, float]:
+    """Decode 16-bit PCM WAV: (sample_rate, n_samples, duration_s,
+    rms) over all channels. Raises ValueError otherwise."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, _n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    if samples.size == 0:
+        raise ValueError("empty data chunk")
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    return int(rate), int(samples.size), samples.size / rate, rms
+
+
+def _feature_runner(id_col, payload_col, decoder, columns, schema):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    rows.append((doc_id, "ok", *decoder(raw)))
+                except ValueError as e:  # dead-letter row, batch survives
+                    rows.append((doc_id, f"error:{e}", *([None] * len(columns))))
+            yield pd.DataFrame(rows, columns=["doc_id", "decode_status", *columns])
+
+    return run
+
+
+def extract_image_features(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over a binary column (24-bit BMP — the one
+    image container parseable with numpy alone): width/height/channel
+    means per payload, Arrow-batched ``mapInPandas``, malformed
+    payloads dead-lettered as ``error:`` rows."""
+    run = _feature_runner(
+        id_col,
+        payload_col,
+        decode_bmp,
+        ["width", "height", "mean_r", "mean_g", "mean_b"],
+        IMAGE_FEATURE_SCHEMA,
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode (16-bit PCM WAV): rate, sample count,
+    duration, RMS loudness — same batch shape as the image path."""
+    run = _feature_runner(
+        id_col,
+        payload_col,
+        decode_wav,
+        ["sample_rate", "n_samples", "duration_s", "rms"],
+        AUDIO_FEATURE_SCHEMA,
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def make_solid_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Serialize a minimal 24-bit bottom-up BMP of one solid color —
+    the deterministic payload generator for decode roundtrip tests
+    (the corpus ships no real media)."""
+    import struct
+
+    row = bytes(bytearray([rgb[2], rgb[1], rgb[0]] * width))
+    pad = b"\x00" * ((4 - (len(row) % 4)) % 4)
+    pixels = (row + pad) * height
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(pixels), 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+        )
+        + pixels
+    )
+
+
+def make_pcm_wav(rate: int, samples: list[int]) -> bytes:
+    """Serialize 16-bit mono PCM WAV from integer samples."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )

@@ -45,6 +45,8 @@ from . import funnelq  # noqa: E402,F401
 _DEFER_NONGREEN = (
     # Round-2 additions whose operator family already has green rows
     # (scalar / movement); novel-family round-2 queries stay in tier 1.
+    "q_image_decode_real",
+    "q_audio_decode_real",
     "q_geojson_points",
     "q_uuid_deterministic",
     "q_format_matrix",

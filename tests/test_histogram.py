@@ -68,3 +68,58 @@ def test_nulls_ignored(spark):
     df = spark.createDataFrame([("a", 1.0), ("a", None)], ["k", "v"])
     h = histogram_state(df, ["k"], "v", lo=0.0, hi=10.0, n_bins=5).collect()[0]["hist"]
     assert sum(h) == 1
+
+
+def test_incremental_histogram_equals_single_pass(spark, tmp_path, values):
+    from s3_rds_bq_airflow_spark.operators.histogram import incremental_histogram
+
+    state_path = str(tmp_path / "hist_state")
+    for lo_k, hi_k in ((0, 20), (20, 60), (60, 1000)):
+        batch = values.where((F.col("v") > lo_k) & (F.col("v") <= hi_k))
+        state = incremental_histogram(
+            spark, state_path, batch,
+            keys=["k"], value_col="v", lo=0.0, hi=128.0, n_bins=64,
+        )
+    single = histogram_state(values, ["k"], "v", lo=0.0, hi=128.0, n_bins=64)
+    assert {r["k"]: r["hist"] for r in state.collect()} == {
+        r["k"]: r["hist"] for r in single.collect()
+    }
+    # Quantiles from restored state match the single-pass answer.
+    q1 = histogram_quantiles(state, ["k"], [0.5], lo=0.0, hi=128.0).collect()
+    q2 = histogram_quantiles(single, ["k"], [0.5], lo=0.0, hi=128.0).collect()
+    assert sorted(map(tuple, q1)) == sorted(map(tuple, q2))
+
+
+def test_streaming_histogram_foreachbatch(spark, tmp_path):
+    """The streaming tier: micro-batches folded via foreachBatch into
+    the same persisted state the batch path uses."""
+    import json
+    import os
+
+    from s3_rds_bq_airflow_spark.operators.histogram import incremental_histogram
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            for i in range(1, 21):
+                f.write(json.dumps({"k": "a", "v": float(b * 20 + i)}) + "\n")
+    state_path = str(tmp_path / "stream_state")
+    stream = (
+        spark.readStream.schema("k STRING, v DOUBLE").json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: incremental_histogram(
+                spark, state_path, df,
+                keys=["k"], value_col="v", lo=0.0, hi=128.0, n_bins=64,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(state_path)
+    hist = final.collect()[0]["hist"]
+    assert sum(hist) == 60  # every micro-batch row counted exactly once

@@ -1,0 +1,90 @@
+"""Real container decoders (BMP/WAV) in the multimodal path.
+
+These formats are parseable with struct+numpy alone, so — unlike the
+honestly-stubbed JPEG/PNG/MP4 path — the decode here is REAL: pixel
+and sample values drive the assertions.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from s3_rds_bq_airflow_spark.operators.multimodal import (
+    decode_bmp,
+    decode_wav,
+    extract_audio_features,
+    extract_image_features,
+)
+
+
+def make_bmp(width: int, height: int, rgb) -> bytes:
+    """Minimal 24-bit bottom-up BMP with a solid color."""
+    row = bytes(bytearray([rgb[2], rgb[1], rgb[0]] * width))
+    pad = b"\x00" * ((4 - (len(row) % 4)) % 4)
+    pixels = (row + pad) * height
+    header_size = 14 + 40
+    file_size = header_size + len(pixels)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def make_wav(rate: int, samples) -> bytes:
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_decode_bmp_exact_pixels():
+    w, h, r, g, b = decode_bmp(make_bmp(5, 3, (200, 100, 50)))
+    assert (w, h) == (5, 3)
+    assert (r, g, b) == (200.0, 100.0, 50.0)
+
+
+def test_decode_wav_exact_samples():
+    rate, n, dur, rms = decode_wav(make_wav(8000, [1000, -1000, 1000, -1000]))
+    assert (rate, n) == (8000, 4)
+    assert abs(dur - 4 / 8000) < 1e-12
+    assert abs(rms - 1000.0) < 1e-9
+
+
+def test_image_features_distributed_with_dead_letter(spark):
+    rows = [
+        (1, make_bmp(4, 4, (255, 0, 0))),
+        (2, make_bmp(2, 8, (0, 0, 255))),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    got = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    assert got[1]["decode_status"] == "ok"
+    assert (got[1]["width"], got[1]["height"], got[1]["mean_r"]) == (4, 4, 255.0)
+    assert got[2]["mean_b"] == 255.0 and got[2]["height"] == 8
+    assert got[3]["decode_status"].startswith("error:") and got[3]["width"] is None
+
+
+def test_audio_features_distributed(spark):
+    sine = [int(10000 * math.sin(2 * math.pi * 440 * t / 8000)) for t in range(800)]
+    df = spark.createDataFrame(
+        [(1, make_wav(8000, sine)), (2, b"RIFFjunk")], "doc_id LONG, payload BINARY"
+    )
+    got = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["decode_status"] == "ok"
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_samples"] == 800
+    assert abs(got[1]["duration_s"] - 0.1) < 1e-9
+    # Sine RMS ≈ amplitude / sqrt(2), loose bound (integer quantization).
+    assert abs(got[1]["rms"] - 10000 / math.sqrt(2)) < 100
+    assert got[2]["decode_status"].startswith("error:")
