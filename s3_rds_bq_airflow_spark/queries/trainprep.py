@@ -1,0 +1,210 @@
+"""Training-data preparation queries: PII redaction, train/eval
+contamination detection, weighted domain mixing.
+
+The ops an LLM-corpus pipeline runs after dedup/quality and before
+tokenization — all JVM-side expressions (regex, shingle equi-joins,
+hash-threshold filters), each with a closed-form or mirrored DuckDB
+oracle. Synthetic PII / planted contamination is injected
+deterministically because the corpus carries none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from ._util import t
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "q_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents WHERE doc_id % 15 = 0
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(LEN(regexp_extract_all(
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g'),
+               '{_EMAIL_RE}|{_PHONE_RE}')) AS BIGINT) AS n_residual,
+           RIGHT(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                '{_PHONE_RE}', '[PHONE]', 'g'), 40) AS redacted_tail
+    FROM seeded
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing: regex redaction of emails/phone patterns with a
+    residual-count audit (0 must remain). Deterministic synthetic PII
+    is appended per doc (the corpus has none); patterns are restricted
+    to the regex subset with identical semantics in Spark and
+    DuckDB."""
+    seeded = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 15 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(redacted, F.lit(f"{_EMAIL_RE}|{_PHONE_RE}"))
+        .cast("long")
+        .alias("n_residual"),
+        F.substring(redacted, -40, 40).alias("redacted_tail"),
+    )
+
+
+_TOKENS_SQL = (
+    "regexp_extract_all(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), '[a-z0-9]+')"
+)
+
+
+@query(
+    "q_contamination_13gram",
+    oracle=f"""
+    WITH eval_docs AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, {_TOKENS_SQL} AS toks
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    eval_grams AS (
+        SELECT doc_id AS eval_id, UNNEST(list_distinct(
+            list_transform(range(1, GREATEST(LEN(toks) - 11, 1)),
+                           i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+        FROM eval_docs
+    ),
+    corpus_grams AS (
+        SELECT doc_id AS corpus_id, UNNEST(list_distinct(
+            list_transform(range(1, GREATEST(LEN(toks) - 11, 1)),
+                           i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+        FROM corpus
+    )
+    SELECT corpus_id, eval_id, COUNT(*) AS n_shared_13grams
+    FROM corpus_grams JOIN eval_grams USING (gram)
+    GROUP BY corpus_id, eval_id
+    """,
+)
+def q_contamination_13gram(spark, sf_dir):
+    """Train/eval contamination check — the standard 13-gram exact-
+    overlap test: any corpus document sharing a 13-token shingle with
+    an eval document is flagged, with the shared-shingle count as
+    evidence strength. Contamination is planted (eval docs re-enter
+    the corpus under +1M ids) so the expected flags are closed-form.
+    Spark side is an EQUI-join on the shingle string — at 100 TB the
+    gram explode shuffles once and skew on stock phrases is AQE-
+    splittable; nothing is all-pairs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        F.lit("[a-z0-9]+"),
+        F.lit(0),
+    )
+
+    def grams(df):
+        n = F.size("toks")
+        seq = F.when(n >= 13, F.sequence(F.lit(1), n - 12)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(seq, lambda i: F.concat_ws(" ", F.slice("toks", i, 13)))
+                )
+            ).alias("gram"),
+        )
+
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", toks.alias("toks"))
+    corpus = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", toks.alias("toks"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), toks.alias("toks")
+            )
+        )
+    )
+    eg = grams(eval_docs).withColumnRenamed("doc_id", "eval_id")
+    cg = grams(corpus).withColumnRenamed("doc_id", "corpus_id")
+    return (
+        cg.join(eg, "gram")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_13grams"))
+    )
+
+
+@query(
+    "q_domain_mixture",
+    oracle="""
+    WITH rates AS (
+        SELECT source, CASE CAST(SUBSTRING(source, 4) AS INT) % 4
+                 WHEN 0 THEN 'g' WHEN 1 THEN '800000'
+                 WHEN 2 THEN '400000' ELSE '200000' END AS thr,
+               CASE CAST(SUBSTRING(source, 4) AS INT) % 4
+                 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                 WHEN 2 THEN 0.25 ELSE 0.125 END AS target_rate
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6) < thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ANY_VALUE(target_rate) AS target_rate
+    FROM documents d JOIN rates USING (source)
+    GROUP BY d.source
+    """,
+)
+def q_domain_mixture(spark, sf_dir):
+    """Weighted domain mixing (`operators/mixing.py`): per-source
+    sampling rates applied as a deterministic md5-threshold FILTER —
+    reproducible across engines/retries/partitionings, no shuffle, no
+    rand(). Sources take rates 1.0/0.5/0.25/0.125 by source index;
+    the oracle recomputes the same thresholds and the SAME sampled
+    rows (not just close counts — the hash selects identical ids)."""
+    from ..operators.mixing import weighted_mix
+
+    docs = t(spark, sf_dir, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    rates = {s: [1.0, 0.5, 0.25, 0.125][int(s[3:]) % 4] for s in sources}
+    sampled = weighted_mix(
+        docs, key_col="doc_id", group_col="source", rates=rates
+    ).groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rate_col = F.element_at(
+        F.create_map(*[x for s in sorted(rates) for x in (F.lit(s), F.lit(rates[s]))]),
+        F.col("source"),
+    )
+    return (
+        totals.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            rate_col.alias("target_rate"),
+        )
+    )
