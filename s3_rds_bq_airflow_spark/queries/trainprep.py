@@ -208,3 +208,56 @@ def q_domain_mixture(spark, sf_dir):
             rate_col.alias("target_rate"),
         )
     )
+
+
+@query(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, lang, LEN({_TOKENS_SQL}) AS n_tokens
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                           - n_tokens) / 2048) AS BIGINT) AS pack_id
+        FROM docs
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing (`operators/packing.py`): documents in stable
+    id order are cut into ~2048-token training packs at cumulative
+    boundaries, per language — one window, fully SQL-mirrored. The
+    hard-cap greedy variant (running total with reset — not window-
+    expressible) is covered by tests/test_packing.py."""
+    from ..operators.packing import boundary_pack
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.regexp_extract_all(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    F.lit("[a-z0-9]+"),
+                    F.lit(0),
+                )
+            ).alias("n_tokens"),
+        )
+    )
+    packed = boundary_pack(
+        docs, capacity=2048, weight_col="n_tokens", order_col="doc_id",
+        group_cols=("lang",),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
