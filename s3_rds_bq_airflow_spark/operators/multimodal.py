@@ -317,3 +317,70 @@ def make_pcm_wav(rate: int, samples: list[int]) -> bytes:
         + struct.pack("<I", len(data))
         + data
     )
+
+
+def resize_bmp(payload: bytes, factor: int) -> bytes:
+    """REAL image resize: nearest-neighbor downsample of a 24-bit BMP
+    by an integer factor (every ``factor``-th pixel in each axis),
+    re-serialized as BMP. Pure numpy strided slicing — no codec."""
+    import struct
+
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    w, h, *_ = decode_bmp(payload)  # validates variant + geometry
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    small = rows[::factor, ::factor, :]
+    nh, nw = small.shape[0], small.shape[1]
+    out_row = np.zeros(((nw * 3 + 3) & ~3,), dtype=np.uint8)
+    body = bytearray()
+    for r in range(nh):
+        out_row[: nw * 3] = small[r].reshape(-1)
+        body += out_row.tobytes()
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(body), 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        + body
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    factor: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed resize over a binary image column: binary -> binary
+    mapInPandas (the brief's decode/feature/RESIZE/frame-sample verb
+    set); malformed payloads dead-letter as NULL output payloads with
+    an error status."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("resize_status", T.StringType()),
+            T.StructField(payload_col, T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    rows.append((doc_id, "ok", resize_bmp(raw, factor)))
+                except ValueError as e:
+                    rows.append((doc_id, f"error:{e}", None))
+            yield pd.DataFrame(rows, columns=[id_col, "resize_status", payload_col])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -48,6 +48,7 @@ _DEFER_NONGREEN = (
     # (scalar / movement); novel-family round-2 queries stay in tier 1.
     "q_image_decode_real",
     "q_audio_decode_real",
+    "q_image_resize_real",
     "q_geojson_points",
     "q_uuid_deterministic",
     "q_format_matrix",

@@ -195,3 +195,54 @@ def q_audio_decode_real(spark, sf_dir):
     ids = t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0).select("doc_id")
     payloads = ids.mapInPandas(_synth_media("wav"), "doc_id LONG, payload BINARY")
     return extract_audio_features(payloads)
+
+
+@query(
+    "q_image_resize_real",
+    oracle="""
+    SELECT doc_id,
+           'ok' AS decode_status,
+           CAST(doc_id % 4 + 1 AS INT) AS width,
+           CAST(doc_id % 3 + 1 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def q_image_resize_real(spark, sf_dir):
+    """REAL image resize end-to-end (the brief's decode/feature/
+    resize/frame-sample verb set, resize leg): solid-color BMPs with
+    even dimensions are synthesized, nearest-neighbor downsampled 2x
+    (`operators/multimodal.resize_bmp`, numpy strided slicing), and
+    decoded back — halved geometry, invariant channel means, all in
+    closed form for the oracle."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        extract_image_features,
+        make_solid_bmp,
+        resize_images,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_solid_bmp(
+                            int((i % 4 + 1) * 2),
+                            int((i % 3 + 1) * 2),
+                            (int(i % 256), int(i * 11 % 256), int(i * 3 % 256)),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    ids = t(spark, sf_dir, "documents").where(F.col("doc_id") % 40 == 0).select("doc_id")
+    payloads = ids.mapInPandas(synth, "doc_id LONG, payload BINARY")
+    resized = resize_images(payloads, factor=2).drop("resize_status")
+    return extract_image_features(resized)

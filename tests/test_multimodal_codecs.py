@@ -88,3 +88,35 @@ def test_audio_features_distributed(spark):
     # Sine RMS ≈ amplitude / sqrt(2), loose bound (integer quantization).
     assert abs(got[1]["rms"] - 10000 / math.sqrt(2)) < 100
     assert got[2]["decode_status"].startswith("error:")
+
+
+def test_resize_bmp_geometry_and_pixels():
+    from s3_rds_bq_airflow_spark.operators.multimodal import decode_bmp, resize_bmp
+
+    big = make_bmp(8, 6, (10, 20, 30))
+    small = resize_bmp(big, 2)
+    w, h, r, g, b = decode_bmp(small)
+    assert (w, h) == (4, 3)
+    assert (r, g, b) == (10.0, 20.0, 30.0)  # solid color survives resample
+    # factor 1 is identity geometry.
+    assert decode_bmp(resize_bmp(big, 1))[:2] == (8, 6)
+
+
+def test_resize_images_distributed(spark):
+    from s3_rds_bq_airflow_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, make_bmp(8, 4, (200, 150, 100))), (2, b"junk")],
+        "doc_id LONG, payload BINARY",
+    )
+    resized = resize_images(df, factor=2)
+    feats = {r["doc_id"]: r for r in extract_image_features(
+        resized.where(resized["resize_status"] == "ok")
+    ).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (4, 2)
+    assert feats[1]["mean_g"] == 150.0
+    bad = resized.where(resized["resize_status"] != "ok").collect()
+    assert len(bad) == 1 and bad[0]["payload"] is None
