@@ -189,6 +189,10 @@ def q_domain_mixture(spark, sf_dir):
     from ..operators.mixing import weighted_mix
 
     docs = t(spark, sf_dir, "documents")
+    # Driver-side collect of the DOMAIN LIST only (20 values) — in
+    # production the rates dict IS the user's config; enumerating the
+    # bounded source vocabulary here just derives that config from the
+    # corpus. Row data never reaches the driver.
     sources = [r["source"] for r in docs.select("source").distinct().collect()]
     rates = {s: [1.0, 0.5, 0.25, 0.125][int(s[3:]) % 4] for s in sources}
     sampled = weighted_mix(
@@ -254,6 +258,67 @@ def q_sequence_packing(spark, sf_dir):
         )
     )
     packed = boundary_pack(
+        docs, capacity=2048, weight_col="n_tokens", order_col="doc_id",
+        group_cols=("lang",),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+@query(
+    "q_sequence_packing_greedy",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, lang, LEN({_TOKENS_SQL}) AS n_tokens
+        FROM documents WHERE doc_id % 3 = 0
+    ), d AS (
+        SELECT lang, doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM docs
+    ), walk AS (
+        SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id,
+               n_tokens AS running
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN w.running > 0 AND w.running + d.n_tokens > 2048
+                    THEN w.pack_id + 1 ELSE w.pack_id END,
+               CASE WHEN w.running > 0 AND w.running + d.n_tokens > 2048
+                    THEN d.n_tokens ELSE w.running + d.n_tokens END
+        FROM d JOIN walk w ON d.lang = w.lang AND d.rn = w.rn + 1
+    )
+    SELECT lang, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM walk GROUP BY lang, pack_id
+    """,
+)
+def q_sequence_packing_greedy(spark, sf_dir):
+    """Hard-cap greedy packing, driver-checkable: the running-total-
+    with-reset recurrence isn't window-expressible, so the Spark side
+    runs `operators/packing.greedy_pack` (per-language applyInPandas)
+    while the oracle replays the SAME first-fit walk as a DuckDB
+    RECURSIVE CTE — the Arrow-batched Python path gets a value-exact
+    SQL cross-check instead of a rows-only waiver."""
+    from ..operators.packing import greedy_pack
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.regexp_extract_all(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    F.lit("[a-z0-9]+"),
+                    F.lit(0),
+                )
+            ).alias("n_tokens"),
+        )
+    )
+    packed = greedy_pack(
         docs, capacity=2048, weight_col="n_tokens", order_col="doc_id",
         group_cols=("lang",),
     )
