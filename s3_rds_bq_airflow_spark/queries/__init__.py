@@ -54,6 +54,8 @@ _DEFER_NONGREEN = (
     "q_format_matrix",
     "q_schema_evolution",
     "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q21_waiting_supplier",
     "q4_order_priority",
     "q7_nation_volume",
     "q8_market_share",

@@ -791,3 +791,132 @@ def q_exists_combo(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS part_value
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM v
+    WHERE part_value > 2.0 * (SELECT SUM(part_value) / COUNT(*) FROM v)
+    ORDER BY part_value DESC, l_partkey
+    LIMIT 25
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H-Q11 shape (no partsupp table in this corpus — shipped
+    value stands in for stock value): per-part value held by a
+    nation group, kept only where it exceeds a scalar-subquery
+    threshold. The official query's fraction scales with SF
+    (0.0001/SF); a fixed literal would silently empty out at other
+    scale factors, so the threshold is 2x the average part value —
+    scale-free, same aggregate + scalar-subquery-HAVING plan."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")).where(
+                F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount", "decimal(8,2)")))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    thr = v.agg(
+        (F.sum("part_value") / F.count(F.lit(1))).alias("avg_value")
+    )
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .where(F.col("part_value") > 2.0 * F.col("avg_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM li a
+      JOIN supplier ON a.l_suppkey = s_suppkey
+    WHERE a.l_shipdate > a.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM li b
+                  WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li c
+                      WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+                        AND c.l_shipdate > c.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H-Q21 shape — the hardest classic plan: suppliers who were
+    the SOLE late shipper on a multi-supplier order (late = shipped
+    >90 days after the order date; the corpus has no commit/receipt
+    dates). Correlated EXISTS -> left-semi on (same order, other
+    supplier); correlated NOT EXISTS -> left-anti against the other-
+    supplier LATE lines; then per-supplier wait counts, top-k with
+    tie-break. Both probes are equi-joins on l_orderkey — at scale
+    one shuffle each over the order key, no correlated re-execution."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = li.where(F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAY"))
+    a = late.alias("a")
+    others = li.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("c_orderkey"), F.col("l_suppkey").alias("c_suppkey")
+    )
+    sole_late = (
+        a.join(
+            others,
+            (F.col("a.l_orderkey") == F.col("b_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b_suppkey")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("a.l_orderkey") == F.col("c_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("c_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        sole_late.join(supp, sole_late["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
