@@ -49,6 +49,7 @@ _DEFER_NONGREEN = (
     "q_image_decode_real",
     "q_audio_decode_real",
     "q_image_resize_real",
+    "q_resample_ffill",
     "q_geojson_points",
     "q_uuid_deterministic",
     "q_format_matrix",

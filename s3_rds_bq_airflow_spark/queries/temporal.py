@@ -106,3 +106,80 @@ def q_range_join(spark, sf_dir):
             .alias("click_value_2h"),
         )
     )
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS grid_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS hourly_value
+        FROM events WHERE user_id % 50 = 0
+        GROUP BY user_id, DATE_TRUNC('hour', ts)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(grid_ts) AS mn, MAX(grid_ts) AS mx FROM e GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS grid_ts
+        FROM bounds
+    )
+    SELECT g.user_id,
+           STRFTIME(g.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_hour,
+           LAST_VALUE(e.hourly_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.grid_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill,
+           CAST(e.user_id IS NULL AS BIGINT) AS was_gap
+    FROM grid g LEFT JOIN e ON g.user_id = e.user_id AND g.grid_ts = e.grid_ts
+    """,
+)
+def q_resample_ffill(spark, sf_dir):
+    """Time-series regularization: per-user hourly resample of the
+    event stream with forward fill across gaps — the temporal twin of
+    schema evolution (irregular arrivals -> a dense analysis grid).
+    ``sequence()`` generates each user's grid (no driver loop),
+    exact-decimal hourly means, and carry-forward is one
+    ``last(ignorenulls)`` running window. Mirrored in DuckDB via
+    generate_series + LAST_VALUE IGNORE NULLS."""
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 50 == 0)
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("grid_ts")
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("hourly_value")
+        )
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("grid_ts").alias("mn"), F.max("grid_ts").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("grid_ts"),
+    )
+    joined = grid.join(
+        e.withColumnRenamed("user_id", "e_user"),
+        (grid["user_id"] == F.col("e_user")) & (grid["grid_ts"] == e["grid_ts"]),
+        "left",
+    ).select(
+        grid["user_id"], grid["grid_ts"], "hourly_value", F.col("e_user")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_hour"),
+        F.last("hourly_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("e_user").isNull().cast("long").alias("was_gap"),
+    )
