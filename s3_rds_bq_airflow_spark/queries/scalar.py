@@ -383,3 +383,38 @@ def q_uuid_deterministic(spark, sf_dir):
             F.substring("h", 21, 12),
         ).alias("row_uuid"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS gross,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.1 AS DOUBLE) AS tax,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9 AS DOUBLE) AS net
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey, 'gross' AS metric, gross AS amount FROM base
+    UNION ALL SELECT o_orderkey, 'tax', tax FROM base
+    UNION ALL SELECT o_orderkey, 'net', net FROM base
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT — wide metrics to long (metric, amount) rows, the
+    inverse of q_pivot_event_type: Spark's native ``unpivot`` (melt)
+    against a UNION-ALL oracle. A pure generator projection: rows
+    fan out 3x with no shuffle."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    base = o.select(
+        "o_orderkey",
+        dec("o_totalprice").cast("double").alias("gross"),
+        (dec("o_totalprice") * F.lit("0.1").cast("decimal(2,1)")).cast("double").alias("tax"),
+        (dec("o_totalprice") * F.lit("0.9").cast("decimal(2,1)")).cast("double").alias("net"),
+    )
+    return base.unpivot(
+        ids=["o_orderkey"],
+        values=["gross", "tax", "net"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
