@@ -230,3 +230,60 @@ def simhash_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_exact_dedup(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW batch against the persisted corpus state —
+    the production shape: arriving shards never rescan history, they
+    join against a (content_fp, keep_id) signature store that is
+    key-sized (one row per distinct content, no text).
+
+    Per batch: dedup within the batch, LEFT-anti the store to find
+    genuinely novel content, atomically fold the batch's partial
+    aggregate into the store (min keep_id, summed counts). Returns
+    ``(novel, state)``: the content first seen in this batch and the
+    updated store. Invariant pinned in tests: processing a corpus in
+    ANY batch split yields the same store as one-shot exact_dedup.
+
+    At 100 TB the store shuffle is (16-byte fp, id) pairs; the batch
+    side is the only text scanned — identical cost profile to the
+    streaming upsert sink, with the same crash-safe swap.
+    """
+    import os
+
+    from ..io.atomic import swap_directory
+
+    in_batch = exact_dedup(batch, text_col, id_col)
+    if os.path.exists(state_path):
+        store = spark.read.parquet(state_path)
+        novel = in_batch.join(store.select("content_fp"), "content_fp", "left_anti")
+        # Store ∪ batch partials re-aggregated: keep_id is the GLOBAL
+        # min and counts sum — the store is the same partial-aggregate
+        # state a one-shot exact_dedup would hold, so any batch split
+        # converges to the identical store (the pinned invariant).
+        merged = (
+            store.unionByName(in_batch)
+            .groupBy("content_fp")
+            .agg(
+                F.min("keep_id").alias("keep_id"),
+                F.sum("n_copies").alias("n_copies"),
+            )
+        )
+    else:
+        novel = in_batch
+        merged = in_batch
+    # Materialize novel BEFORE the swap: it is a lazy plan over the
+    # store files the swap is about to replace — collecting it later
+    # would read deleted parquet.
+    novel = novel.localCheckpoint(eager=True)
+    tmp = state_path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap_directory(tmp, state_path)
+    return novel, spark.read.parquet(state_path)

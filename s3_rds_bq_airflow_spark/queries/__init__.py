@@ -50,6 +50,7 @@ _DEFER_NONGREEN = (
     "q_audio_decode_real",
     "q_image_resize_real",
     "q_resample_ffill",
+    "q_incremental_dedup",
     "q_unpivot",
     "q_geojson_points",
     "q_uuid_deterministic",

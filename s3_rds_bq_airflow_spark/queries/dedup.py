@@ -164,3 +164,45 @@ def q_ngram_jaccard(spark, sf_dir):
         )
         .where(F.col("jaccard") >= 0.2)
     )
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT MD5({NORMALIZE_SQL}) AS content_fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup (`operators/dedup.py::
+    incremental_exact_dedup`): the planted-twin corpus arrives as
+    THREE batches folded one at a time into a persisted signature
+    store — novel content detected by anti-join against the store,
+    store swapped atomically per batch. The oracle is the ONE-SHOT
+    dedup of the whole corpus: equality proves batch-split invariance
+    (no content lost, first-seen ids kept, duplicate counts summed
+    across batch boundaries)."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import incremental_exact_dedup
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    state = os.path.join(tempfile.mkdtemp(prefix="engine_incdedup_"), "store")
+    store = None
+    for part in range(3):
+        batch = corpus.where(F.col("doc_id") % 3 == part)
+        _novel, store = incremental_exact_dedup(spark, state, batch)
+    return store

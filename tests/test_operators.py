@@ -167,3 +167,42 @@ def test_label_propagation_deterministic_and_capped(spark):
     r2 = sorted(label_propagation(nodes, e, max_iterations=5).collect())
     assert r1 == r2
     assert all(r["label"] is not None for r in r1)
+
+
+def test_incremental_exact_dedup_split_invariance(spark, tmp_path):
+    from s3_rds_bq_airflow_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    docs = [(i, f"text {i % 7}") for i in range(40)]  # 7 distinct contents
+    full = spark.createDataFrame(docs, ["doc_id", "text"])
+    oneshot = {r["content_fp"]: (r["keep_id"], r["n_copies"])
+               for r in exact_dedup(full).collect()}
+
+    state = str(tmp_path / "dedup_state")
+    seen_novel = []
+    for lo, hi in ((0, 10), (10, 25), (25, 40)):
+        batch = spark.createDataFrame(docs[lo:hi], ["doc_id", "text"])
+        novel, store = incremental_exact_dedup(spark, state, batch)
+        seen_novel.extend(r["content_fp"] for r in novel.collect())
+    got = {r["content_fp"]: (r["keep_id"], r["n_copies"]) for r in store.collect()}
+    # Any batch split converges to the one-shot store.
+    assert got == oneshot
+    # Each distinct content is emitted as novel EXACTLY once across batches.
+    assert sorted(seen_novel) == sorted(oneshot.keys())
+
+
+def test_incremental_exact_dedup_restartable(spark, tmp_path):
+    from s3_rds_bq_airflow_spark.operators.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "s")
+    b1 = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "text"])
+    novel1, store1 = incremental_exact_dedup(spark, state, b1)
+    assert novel1.count() == 1 and store1.collect()[0]["n_copies"] == 2
+    # Re-processing the same batch: nothing novel, counts accumulate
+    # (at-least-once delivery is visible, not silently double-kept).
+    novel2, store2 = incremental_exact_dedup(spark, state, b1)
+    assert novel2.count() == 0
+    row = store2.collect()[0]
+    assert row["keep_id"] == 1 and row["n_copies"] == 4
