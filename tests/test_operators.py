@@ -206,3 +206,36 @@ def test_incremental_exact_dedup_restartable(spark, tmp_path):
     assert novel2.count() == 0
     row = store2.collect()[0]
     assert row["keep_id"] == 1 and row["n_copies"] == 4
+
+
+def test_incremental_dedup_streaming_foreachbatch(spark, tmp_path):
+    """The streaming tier of incremental dedup: micro-batches folded
+    into the same signature store the batch path uses."""
+    import json
+
+    from s3_rds_bq_airflow_spark.operators.dedup import incremental_exact_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # 3 files, overlapping contents across files (cross-batch dupes).
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            for i in range(10):
+                doc_id = b * 10 + i
+                f.write(json.dumps({"doc_id": doc_id, "text": f"content {i % 4}"}) + "\n")
+    state = str(tmp_path / "store")
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: incremental_exact_dedup(spark, state, df)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    store = spark.read.parquet(state)
+    rows = {r["keep_id"]: r["n_copies"] for r in store.collect()}
+    # 4 distinct contents, 30 docs total; min ids 0..3 survive.
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert sum(rows.values()) == 30
