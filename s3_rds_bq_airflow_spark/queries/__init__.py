@@ -46,11 +46,19 @@ from . import trainprep  # noqa: E402,F401
 _DEFER_NONGREEN = (
     # Round-2 additions whose operator family already has green rows
     # (scalar / movement); novel-family round-2 queries stay in tier 1.
+    # Family-redundant tier-1 members demoted to keep tier 1 at the
+    # ~50-entry driver cap (each has a sibling shape ahead of it):
+    "q_sequence_packing",      # greedy variant carries the family
+    "q_stratified_sample",     # q_hash_sample green r1
+    "q_monthly_trend",         # date family green r1
+    "q_array_funcs",           # scalar family green r1
+    "q_pivot_event_type",      # events family via q_event_rate_per_user
     "q_image_decode_real",
     "q_audio_decode_real",
     "q_image_resize_real",
     "q_resample_ffill",
     "q_incremental_dedup",
+    "q_incremental_quantiles",
     "q_unpivot",
     "q_geojson_points",
     "q_uuid_deterministic",

@@ -273,3 +273,69 @@ def q_format_matrix(spark, sf_dir):
             )
         )
     return legs[0].unionByName(legs[1])
+
+
+@query(
+    "q_scd2_asof",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT 'mid' AS as_of, segment, COUNT(*) AS n_customers FROM (
+        SELECT CASE WHEN c_custkey % 3 = 0 THEN 'SEG_B'
+                    ELSE c_mktsegment END AS segment FROM c)
+    GROUP BY segment
+    UNION ALL
+    SELECT 'late', segment, COUNT(*) FROM (
+        SELECT CASE WHEN c_custkey % 6 = 0 THEN 'SEG_C'
+                    WHEN c_custkey % 3 = 0 THEN 'SEG_B'
+                    ELSE c_mktsegment END AS segment FROM c)
+    GROUP BY segment
+    """,
+)
+def q_scd2_asof(spark, sf_dir):
+    """SCD Type 2 end-to-end, driver-checkable (`operators/scd`):
+    bootstrap a customer dimension, apply two change batches (segment
+    reassignments at T1 and T2), then read the history back AS OF two
+    instants — between the batches and after both. The oracle states
+    each point-in-time result in closed form; equality proves version
+    closing, opening, and interval predicates all land exactly."""
+    from ..operators.scd import scd2_apply, scd2_as_of, scd2_init
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    )
+    dim = scd2_init(c, valid_from="2026-01-01 00:00:00")
+    upd1 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, "SEG_B")
+        .otherwise(F.col("segment"))
+        .alias("segment"),
+    )
+    dim = scd2_apply(
+        dim, upd1, key="c_custkey", attrs=["segment"], batch_ts="2026-02-01 00:00:00"
+    )
+    upd2 = upd1.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 6 == 0, "SEG_C")
+        .otherwise(F.col("segment"))
+        .alias("segment"),
+    )
+    dim = scd2_apply(
+        dim, upd2, key="c_custkey", attrs=["segment"], batch_ts="2026-03-01 00:00:00"
+    )
+    mid = (
+        scd2_as_of(dim, "2026-02-15 00:00:00")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("mid").alias("as_of"), "segment", "n_customers")
+    )
+    late = (
+        scd2_as_of(dim, "2026-03-15 00:00:00")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("late").alias("as_of"), "segment", "n_customers")
+    )
+    return mid.unionByName(late)

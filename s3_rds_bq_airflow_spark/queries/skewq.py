@@ -234,3 +234,51 @@ def q_histogram_quantiles(spark, sf_dir):
     ]
     merged = merge_histogram_states(halves, ["l_returnflag"])
     return histogram_quantiles(merged, ["l_returnflag"], [0.5, 0.95], lo=0.0, hi=64.0)
+
+
+@query(
+    "q_incremental_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity / 1.0) AS INT) + 1 AS bin,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, bin,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+        FROM b
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * total) THEN bin - 1 END) AS DOUBLE) AS p50_est,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin - 1 END) AS DOUBLE) AS p95_est
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def q_incremental_quantiles(spark, sf_dir):
+    """The PERSISTED incremental path of the histogram sketch
+    (`operators/histogram.incremental_histogram`): three disjoint
+    batches folded one at a time into an on-disk state store (atomic
+    swap per fold), quantiles estimated from the RESTORED state. The
+    oracle is the one-shot closed form — equality proves the
+    fold/persist/restore cycle loses no counts (the same invariant
+    the q_histogram_quantiles in-memory merge proves, now through
+    storage)."""
+    import os
+    import tempfile
+
+    from ..operators.histogram import histogram_quantiles, incremental_histogram
+
+    li = t(spark, sf_dir, "lineitem")
+    state = os.path.join(tempfile.mkdtemp(prefix="engine_incq_"), "state")
+    final = None
+    for r in (0, 1, 2):
+        final = incremental_histogram(
+            spark, state, li.where(F.col("l_orderkey") % 3 == r),
+            keys=["l_returnflag"], value_col="l_quantity",
+            lo=0.0, hi=64.0, n_bins=64,
+        )
+    return histogram_quantiles(final, ["l_returnflag"], [0.5, 0.95], lo=0.0, hi=64.0)
