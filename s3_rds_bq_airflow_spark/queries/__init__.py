@@ -59,6 +59,8 @@ _DEFER_NONGREEN = (
     "q_resample_ffill",
     "q_incremental_dedup",
     "q_incremental_quantiles",
+    "q_incremental_rollup",
+    "q_ledger_ingest",
     "q_unpivot",
     "q_geojson_points",
     "q_uuid_deterministic",

@@ -339,3 +339,102 @@ def q_scd2_asof(spark, sf_dir):
         .select(F.lit("late").alias("as_of"), "segment", "n_customers")
     )
     return mid.unionByName(late)
+
+
+@query(
+    "q_incremental_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-rollup maintenance, driver-checkable
+    (`operators/incremental_agg`): orders arrive as three disjoint
+    batches folded one at a time into persisted partial-aggregate
+    state (count/sum/min/max per status, atomic swap per fold). The
+    oracle is the one-shot aggregate over everything: equality proves
+    state folding is exactly the partial-aggregation algebra —
+    O(batch + state) per refresh, never a history rescan."""
+    from ..operators.incremental_agg import incremental_aggregate
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", dec("o_totalprice").alias("o_totalprice")
+    )
+    state = os.path.join(tempfile.mkdtemp(prefix="engine_rollup_"), "state")
+    final = None
+    for r in (0, 1, 2):
+        final = incremental_aggregate(
+            spark,
+            state,
+            o.where(F.col("o_orderkey") % 3 == r),
+            keys=["o_orderstatus"],
+            aggs={
+                "n_orders": ("o_orderkey", "count"),
+                "sum_price_dec": ("o_totalprice", "sum"),
+                "min_key": ("o_orderkey", "min"),
+                "max_key": ("o_orderkey", "max"),
+            },
+        )
+    return final.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        F.col("min_key").cast("long").alias("min_key"),
+        F.col("max_key").cast("long").alias("max_key"),
+    )
+
+
+@query(
+    "q_ledger_ingest",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum,
+           CAST(3 AS BIGINT) AS files_round1,
+           CAST(0 AS BIGINT) AS files_round2
+    FROM nation
+    """,
+)
+def q_ledger_ingest(spark, sf_dir):
+    """Exactly-once file ingestion via the processed-file ledger (S8,
+    the reference's move-after-load without mutating the source):
+    nation is split into three CSV files in a landing dir; round 1
+    ingests all three through the ledger, round 2 ingests NOTHING
+    (every file already committed), and the staged rows equal the
+    source exactly once — counts, key sum, and per-round file counts
+    all closed-form."""
+    from ..io.csv_source import read_csv_bronze
+    from ..io.ledger import ingest_new_files
+
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    base = tempfile.mkdtemp(prefix="engine_ledger_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    rows = n.collect()  # 25 rows — a dimension, driver-side by design
+    for part in range(3):
+        with open(os.path.join(landing, f"nation_{part}.csv"), "w") as f:
+            f.write("nation key,Nation-Name,region key\n")
+            for r in rows:
+                if r["n_nationkey"] % 3 == part:
+                    f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+    staging = os.path.join(base, "staging")
+    ledger = os.path.join(base, "ledger")
+
+    def load(files):
+        for fp in files:
+            read_csv_bronze(spark, fp, audit=False).write.mode("append").parquet(staging)
+
+    round1 = ingest_new_files(spark, landing, ledger, load, suffix=".csv")
+    round2 = ingest_new_files(spark, landing, ledger, load, suffix=".csv")
+    staged = spark.read.parquet(staging)
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("nation_key").cast("long")).alias("key_sum"),
+        F.lit(len(round1)).cast("long").alias("files_round1"),
+        F.lit(len(round2)).cast("long").alias("files_round2"),
+    )
