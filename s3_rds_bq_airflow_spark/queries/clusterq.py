@@ -97,3 +97,30 @@ def q_label_propagation(spark, sf_dir):
     ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
     labels = label_propagation(c.select(F.col("c_custkey").alias("id")), edges)
     return labels.select(F.col("id").alias("c_custkey"), "label")
+
+
+@query(
+    "q_pagerank_cycle",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS id, 1.0 AS rank
+    FROM nation
+    """,
+)
+def q_pagerank_cycle(spark, sf_dir):
+    """PageRank power iteration, driver-checkable
+    (`operators/cluster.pagerank`): on a directed CYCLE over the
+    nation keys the uniform distribution is the exact fixpoint —
+    every node has one in- and one out-edge, so rank 1.0 must
+    reproduce itself bit-exactly each round (0.15 + 0.85*1.0 == 1.0
+    in IEEE-754). Any error in contribution shipping, dangling-mass
+    handling, or damping drifts the ranks off 1.0 and fails the hash.
+    Analytic non-uniform graphs are pinned in tests/test_pagerank.py."""
+    from ..operators.cluster import pagerank
+
+    n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("id"))
+    n_count = 25  # nation is fixed-size at every SF
+    edges = n.select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n_count).alias("dst")
+    )
+    ranks = pagerank(n, edges, max_iterations=5)
+    return ranks.select("id", F.col("rank").cast("double").alias("rank"))
