@@ -62,6 +62,7 @@ _DEFER_NONGREEN = (
     "q_incremental_rollup",
     "q_ledger_ingest",
     "q_pagerank_cycle",
+    "q_udtf_sentences",
     "q_unpivot",
     "q_geojson_points",
     "q_uuid_deterministic",

@@ -124,3 +124,39 @@ def q_pagerank_cycle(spark, sf_dir):
     )
     ranks = pagerank(n, edges, max_iterations=5)
     return ranks.select("id", F.col("rank").cast("double").alias("rank"))
+
+
+@query(
+    "q_udtf_sentences",
+    oracle="""
+    WITH parts AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, '.'), s -> trim(s)),
+                           s -> s <> '') AS sents
+        FROM documents WHERE doc_id % 35 = 0
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS sentence_idx,
+           sents[i] AS sentence,
+           CAST(LEN(regexp_extract_all(sents[i], '\\S+')) AS INT) AS n_tokens
+    FROM parts, UNNEST(range(1, LEN(sents) + 1)) AS t(i)
+    """,
+)
+def q_udtf_sentences(spark, sf_dir):
+    """§2.10 table-valued Python surface, driver-checkable: the
+    SentenceSplit UDTF (`operators/udtf_ops`) lateral-joined from SQL,
+    hash-checked against a DuckDB list-comprehension oracle. The
+    policy stands — this generator IS expressible as a JVM explode
+    (pinned equal in tests/test_udtf.py); the UDTF demonstrates the
+    extension point for generators that genuinely need Python."""
+    from ..operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") % 35 == 0)
+    docs.createOrReplaceTempView("udtf_docs_q")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_tokens
+        FROM udtf_docs_q d, LATERAL sentence_split(d.text) s
+        """
+    )
