@@ -63,6 +63,7 @@ _DEFER_NONGREEN = (
     "q_ledger_ingest",
     "q_pagerank_cycle",
     "q_udtf_sentences",
+    "q_pandas_udaf_ols",
     "q_unpivot",
     "q_geojson_points",
     "q_uuid_deterministic",

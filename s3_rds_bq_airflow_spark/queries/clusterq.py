@@ -160,3 +160,45 @@ def q_udtf_sentences(spark, sf_dir):
         FROM udtf_docs_q d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@query(
+    "q_pandas_udaf_ols",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           3.0 AS slope_r6,
+           7.0 AS intercept_r6,
+           1.0 AS r2_r6
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_pandas_udaf_ols(spark, sf_dir):
+    """§2.10 grouped pandas UDAF surface, driver-checkable
+    (`operators/pandas_udaf.grouped_ols`): per-group OLS over an
+    exactly-linear synthetic target (y = 3x + 7 on l_quantity), so
+    slope/intercept/R² have closed-form values — rounded to 6
+    decimals to absorb the ~1e-12 float residue of the centered-sum
+    formulas. Non-trivial fits are pinned numerically in
+    tests/test_pandas_udaf.py; this query proves the Arrow
+    group-batch plumbing end-to-end under the driver's hash."""
+    from ..operators.pandas_udaf import grouped_ols
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("x"),
+            (3 * F.col("l_quantity") + 7).alias("y"),
+        )
+    )
+    fit = grouped_ols(li, group_col="l_returnflag", x_col="x", y_col="y")
+    return fit.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 6).alias("slope_r6"),
+        F.round("intercept", 6).alias("intercept_r6"),
+        F.round("r2", 6).alias("r2_r6"),
+    )
