@@ -64,6 +64,8 @@ _DEFER_NONGREEN = (
     "q_pagerank_cycle",
     "q_udtf_sentences",
     "q_pandas_udaf_ols",
+    "q_cdc_tombstones",
+    "q_compaction",
     "q_unpivot",
     "q_geojson_points",
     "q_uuid_deterministic",

@@ -438,3 +438,88 @@ def q_ledger_ingest(spark, sf_dir):
         F.lit(len(round1)).cast("long").alias("files_round1"),
         F.lit(len(round2)).cast("long").alias("files_round2"),
     )
+
+
+@query(
+    "q_cdc_tombstones",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 21 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+    FROM target
+    WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey % 21 <> 0)
+    """,
+)
+def q_cdc_tombstones(spark, sf_dir):
+    """CDC delete semantics through the merge (the reference's binlog
+    path marks deletes with non-null `_sdc_deleted_at`,
+    `tap_mysql/sync_strategies/binlog.py:45-53`): one change batch
+    carries updates (keys %21 -> status 'U') and tombstones (keys
+    %13); where both apply, the LATER update wins (dedup-then-delete
+    on the latest row image). The oracle states the surviving table
+    in closed form — deleted keys gone, updated keys rewritten,
+    everything else untouched."""
+    orders = t(spark, sf_dir, "orders")
+    target = orders.select("o_orderkey", "o_orderstatus")
+    updates = orders.where(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(None).cast("timestamp").alias("_sdc_deleted_at"),
+        F.lit(2).alias("_seq"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("_sdc_deleted_at"),
+        F.lit(1).alias("_seq"),
+    )
+    merged = merge_upsert(
+        target,
+        updates.unionByName(deletes),
+        ["o_orderkey"],
+        source_order=["_seq"],
+        tombstone_col="_sdc_deleted_at",
+    )
+    return merged.select("o_orderkey", "o_orderstatus").drop("_seq")
+
+
+@query(
+    "q_compaction",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_compaction(spark, sf_dir):
+    """Small-file compaction (`operators/storage.compact_parquet`):
+    a lineitem slice is deliberately shattered into 64 tiny files
+    (the streaming-ingest pathology), compacted back to target-sized
+    files, and aggregated from the compacted copy. The oracle
+    aggregates the source: equality proves the rewrite is a pure
+    re-layout. The compacted file count is asserted inside the query
+    (a wrong count raises, failing the driver run)."""
+    from ..operators.storage import compact_parquet
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 0).select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    base = tempfile.mkdtemp(prefix="engine_compact_")
+    shattered = os.path.join(base, "shattered")
+    compacted = os.path.join(base, "compacted")
+    li.repartition(64).write.parquet(shattered)
+    n_files = compact_parquet(spark, shattered, compacted)
+    if n_files >= 64:
+        raise AssertionError(f"compaction produced {n_files} files")
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
