@@ -326,3 +326,87 @@ def q_sequence_packing_greedy(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source
+        FROM documents WHERE doc_id % 17 = 0
+    ),
+    quality AS (
+        SELECT doc_id, text, lang, source,
+               LEN({_TOKENS_SQL}) AS n_tokens
+        FROM corpus
+        WHERE LENGTH(text) >= 50
+    ),
+    dedup AS (
+        SELECT * FROM (
+            SELECT q.*, ROW_NUMBER() OVER (
+                PARTITION BY MD5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+            FROM quality q
+        ) WHERE rn = 1
+    ),
+    mixed AS (
+        SELECT * FROM dedup
+        WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 6) < 'c00000'
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                           - n_tokens) / 2048) AS BIGINT) AS pack_id
+        FROM mixed
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+)
+def q_corpus_pipeline(spark, sf_dir):
+    """The flagship corpus-prep pipeline as ONE declarative DAG —
+    quality filter -> exact dedup (planted twins collapse) -> 75%
+    hash-threshold mixture -> per-language boundary packing — each
+    stage the engine operator users would call, fused by Catalyst
+    into a single plan (no materialization between stages). The
+    oracle replays the identical chain in SQL CTEs: equality proves
+    stage COMPOSITION, not just each stage alone."""
+    from ..operators.dedup import normalize_text
+    from ..operators.packing import boundary_pack
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    twins = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = docs.unionByName(twins)
+    quality = corpus.where(F.length("text") >= 50).withColumn(
+        "n_tokens",
+        F.size(
+            F.regexp_extract_all(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                F.lit("[a-z0-9]+"),
+                F.lit(0),
+            )
+        ),
+    )
+    w = W.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    mixed = dedup.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < "c00000"
+    )
+    packed = boundary_pack(
+        mixed, capacity=2048, weight_col="n_tokens", order_col="doc_id",
+        group_cols=("lang",),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
