@@ -53,6 +53,8 @@ _DEFER_NONGREEN = (
     "q_monthly_trend",         # date family green r1
     "q_array_funcs",           # scalar family green r1
     "q_pivot_event_type",      # events family via q_event_rate_per_user
+    "q_json_unpack_view",      # same from_json machinery as q_fixed_wrap_roundtrip
+    "q_sql_surface",           # SQL-API twin of green DataFrame queries
     "q_image_decode_real",
     "q_audio_decode_real",
     "q_image_resize_real",
