@@ -69,6 +69,7 @@ _DEFER_NONGREEN = (
     "q_cdc_tombstones",
     "q_compaction",
     "q_unpivot",
+    "q_array_lambda",
     "q_geojson_points",
     "q_uuid_deterministic",
     "q_format_matrix",

@@ -418,3 +418,48 @@ def q_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="amount",
     )
+
+
+@query(
+    "q_array_lambda",
+    oracle="""
+    WITH k AS (
+        SELECT c_custkey, c_custkey % 20 + 3 AS k
+        FROM customer WHERE c_custkey % 30 = 0
+    )
+    SELECT c_custkey,
+           CAST(k AS BIGINT) AS n_elems,
+           CAST(k * (k + 1) * (2 * k + 1) // 6 AS BIGINT) AS sum_squares,
+           CAST(k // 2 AS BIGINT) AS n_even,
+           CAST(k * (k + 1) AS BIGINT) AS zip_sum,
+           TRUE AS has_large
+    FROM k
+    """,
+)
+def q_array_lambda(spark, sf_dir):
+    """Higher-order array lambdas (transform / filter / aggregate /
+    zip_with / exists) — the Catalyst functional-collection surface
+    that keeps array logic JVM-side where row-at-a-time UDFs would
+    otherwise creep in. Each lambda's result has a closed form over
+    the generated sequence(1, k): sum of squares k(k+1)(2k+1)/6,
+    even count floor(k/2), zip_with(arr, reverse(arr), +) summing to
+    k(k+1) — the oracle states the formulas directly."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 30 == 0)
+    k = (F.col("c_custkey") % 20 + 3).cast("int")
+    arr = F.sequence(F.lit(1), k)
+    return c.select(
+        "c_custkey",
+        F.size(arr).cast("long").alias("n_elems"),
+        F.aggregate(
+            F.transform(arr, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_squares"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        F.aggregate(
+            F.zip_with(arr, F.reverse(arr), lambda a, b: (a + b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("zip_sum"),
+        F.exists(arr, lambda x: x >= k).alias("has_large"),
+    )
