@@ -155,3 +155,51 @@ def q_stream_exactly_once(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(table)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT s.event_id AS s_id, c.event_id AS c_id
+    FROM events s JOIN events c
+      ON s.user_id = c.user_id
+     AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+    WHERE s.event_type = 'signup' AND c.event_type = 'click'
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join executed by the
+    streaming engine (both sides unbounded file streams, state
+    bounded by watermark + the interval condition, append mode):
+    clicks within 2 hours after a signup. The oracle is the batch
+    interval join over the same events — the unified-semantics
+    guarantee, proven rather than asserted."""
+    import uuid as _uuid
+
+    from ..streaming import read_event_stream, stage_as_files
+
+    landing = tempfile.mkdtemp(prefix="stream_join_")
+    stage_as_files(os.path.join(sf_dir, "events.parquet"), landing, n_files=4)
+
+    def side(event_type, p):
+        s = read_event_stream(spark, landing).where(F.col("event_type") == event_type)
+        return s.select(
+            F.col("user_id").alias(f"{p}_user"),
+            F.col("ts").alias(f"{p}_ts"),
+            F.col("event_id").alias(f"{p}_id"),
+        ).withWatermark(f"{p}_ts", "2 hours")
+
+    joined = side("signup", "s").join(
+        side("click", "c"),
+        F.expr("s_user = c_user AND c_ts >= s_ts AND c_ts < s_ts + INTERVAL 2 HOURS"),
+    ).select(F.col("s_id"), F.col("c_id"))
+    table = f"q_stream_join_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table)
