@@ -79,16 +79,21 @@ def q_profile_table(spark, sf_dir):
     )
     SELECT n,
            sx / n AS mean_qty,
-           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-           (sxy - sx * sy / n) / ((n - 1) * SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1)))
-             AS corr_qty_price
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 9) AS stddev_qty_r9,
+           ROUND((sxy - sx * sy / n) / ((n - 1) * SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1))), 12)
+             AS corr_qty_price_r12
     FROM s
     """,
 )
 def q_stats_moments(spark, sf_dir):
     """Mean / sample stddev / Pearson correlation derived from exact
     decimal power sums — one pass, order-independent, bit-identical
-    at any partition count (unlike merged float partials)."""
+    at any partition count (unlike merged float partials). The derived
+    moments are rounded (9/12 decimals): at sf0.1 the power sums are
+    large enough that DECIMAL->DOUBLE conversion differs by one ulp
+    between engines, and the ratio formulas amplify it into the last
+    digit — rounding absorbs exactly that final-ulp skew while the
+    inputs stay exact."""
     li = t(spark, sf_dir, "lineitem")
     qty, price = dec("l_quantity"), dec("l_extendedprice")
     s = li.agg(
@@ -105,10 +110,10 @@ def q_stats_moments(spark, sf_dir):
     return s.select(
         "n",
         (sx / n).alias("mean_qty"),
-        F.sqrt(var_x).alias("stddev_qty"),
-        ((sxy - sx * sy / n) / ((n - F.lit(1)) * F.sqrt(var_x) * F.sqrt(var_y))).alias(
-            "corr_qty_price"
-        ),
+        F.round(F.sqrt(var_x), 9).alias("stddev_qty_r9"),
+        F.round(
+            (sxy - sx * sy / n) / ((n - F.lit(1)) * F.sqrt(var_x) * F.sqrt(var_y)), 12
+        ).alias("corr_qty_price_r12"),
     )
 
 
