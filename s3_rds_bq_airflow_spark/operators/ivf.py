@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .similarity import cosine_fast
+from .similarity import cosine_exact, cosine_fast
 
 __all__ = ["ivf_fit", "ivf_assign", "ivf_topk"]
 
@@ -71,8 +71,21 @@ def ivf_fit(
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("x"))
         )
-        centroids = means.groupBy("cid").agg(
+        new_means = means.groupBy("cid").agg(
             _rebuild(F.collect_list(F.struct("pos", "x"))).alias("cvec")
+        )
+        # A Lloyd round can leave a cell empty (no vector assigned);
+        # dropping it would silently shrink the centroid set below
+        # n_centroids and make n_probe cover a larger fraction than
+        # callers expect. Keep the PRIOR centroid vector for any cell
+        # the update produced no mean for.
+        centroids = (
+            centroids.alias("prev")
+            .join(new_means.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new.cvec"), F.col("prev.cvec")).alias("cvec"),
+            )
         )
     return centroids
 
@@ -106,10 +119,16 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """Top-k by cosine: probe the ``n_probe`` best cells, exact
     re-rank inside them. ``assigned`` is ``ivf_assign`` output (at
-    scale: persisted partitionBy(cid) so probes prune files)."""
+    scale: persisted partitionBy(cid) so probes prune files).
+
+    ``exact=True`` re-ranks candidates with the decimal-exact cosine
+    (engine-portable ordering — with full probe the result is
+    bit-identical to the brute-force oracle); cell selection stays on
+    the fast double path either way."""
     q = query_vec.select(F.col(vec_col).alias("_qvec"))
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
@@ -121,11 +140,9 @@ def ivf_topk(
         .select("cid", "_qvec")
     )
     cands = assigned.join(F.broadcast(probe_cells), "cid")
+    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_qvec"))
     return (
-        cands.select(
-            F.col(id_col),
-            cosine_fast(F.col(vec_col), F.col("_qvec")).alias("cosine"),
-        )
+        cands.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

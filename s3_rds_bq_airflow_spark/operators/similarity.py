@@ -91,6 +91,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _hyperplanes_q6(dim: int, n_planes: int, seed: int = 7) -> list[list[str]]:
+    """Hyperplane coefficients quantized to 6 decimal places, as
+    strings — exact DECIMAL(10,6) literals on BOTH engines, so the
+    bucket computation below is reproducible in plain SQL (the basis
+    of the hash-checkable LSH oracles in queries/similarity.py)."""
+    return [[f"{x:.6f}" for x in plane] for plane in _hyperplanes(dim, n_planes, seed)]
+
+
+def signed_projection_bucket_exact(vec: Column, plane_strs: list[list[str]]) -> Column:
+    """Random-hyperplane LSH bucket with EXACT decimal projections:
+    elements cast to DECIMAL(12,8), plane coefficients DECIMAL(10,6)
+    string literals, products summed exactly — order-independent and
+    engine-independent, so sign(dot) (hence the bucket id) is
+    bit-portable to a SQL oracle. The double path
+    (`signed_projection_bucket`) stays the throughput default."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(plane_strs):
+        pcol = F.array(*[F.lit(s).cast("decimal(10,6)") for s in plane])
+        prods = F.zip_with(vec, pcol, lambda x, y: x.cast("decimal(12,8)") * y)
+        dot = F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(38,14)"),
+            lambda acc, x: (acc + x).cast("decimal(38,14)"),
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
 def signed_projection_bucket(
     vec: Column, planes: list[list[float]]
 ) -> Column:
@@ -113,20 +141,31 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int = 8,
     multiprobe: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """ANN top-k: hyperplane-bucket the corpus once, probe the query
     bucket (plus all 1-bit-flip neighbors), exact-cosine re-rank the
     candidates. At scale the bucketed corpus is a materialized/
-    partitioned table and each query touches ~n/2^planes rows."""
-    planes = _hyperplanes(dim, n_planes)
+    partitioned table and each query touches ~n/2^planes rows.
+
+    ``exact=True`` switches both the bucket projections and the
+    re-rank cosine to exact decimal arithmetic (engine-portable, the
+    oracle-checked mode); the default double path is the throughput
+    mode."""
+    if exact:
+        planes_q6 = _hyperplanes_q6(dim, n_planes)
+        bucket_of = lambda c: signed_projection_bucket_exact(c, planes_q6)  # noqa: E731
+    else:
+        planes = _hyperplanes(dim, n_planes)
+        bucket_of = lambda c: signed_projection_bucket(c, planes)  # noqa: E731
     bucketed = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        signed_projection_bucket(F.col(vec_col), planes).alias("_bucket"),
+        bucket_of(F.col(vec_col)).alias("_bucket"),
     )
     q = query_vec.select(
         F.col(vec_col).alias("_qvec"),
-        signed_projection_bucket(F.col(vec_col), planes).alias("_qbucket"),
+        bucket_of(F.col(vec_col)).alias("_qbucket"),
     )
     if multiprobe:
         probes = F.array(
@@ -139,10 +178,9 @@ def lsh_ann_topk(
         q = q.select("_qvec", F.explode(probes).alias("_qbucket"))
     q = F.broadcast(q)
     cands = bucketed.join(q, bucketed["_bucket"] == q["_qbucket"])
+    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_qvec"))
     return (
-        cands.select(
-            F.col(id_col), cosine_fast(F.col(vec_col), F.col("_qvec")).alias("cosine")
-        )
+        cands.select(F.col(id_col), cos.alias("cosine"))
         .groupBy(id_col)
         .agg(F.max("cosine").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))

@@ -65,27 +65,95 @@ def q_cosine_topk_exact(spark, sf_dir):
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
 
-@query("q_cosine_ann_lsh")
+# ---------------------------------------------------------------------------
+# Hash-checkable LSH: the 8 hyperplanes are quantized to DECIMAL(10,6)
+# literals and the projections run in exact decimal arithmetic on BOTH
+# engines, so bucket ids (hence the candidate sets) match bit-for-bit
+# and the whole ANN pipeline is expressible as a DuckDB oracle with
+# the plane constants inlined. The production path keeps the fast
+# double projections (`signed_projection_bucket`); exact mode is the
+# verification gear of the same operator.
+# ---------------------------------------------------------------------------
+from ..operators.similarity import _hyperplanes_q6
+
+_PLANES_Q6 = _hyperplanes_q6(64, 8)
+
+_PLANES_VALUES = ",\n        ".join(
+    f"({pid},{i},{c})"
+    for pid, plane in enumerate(_PLANES_Q6)
+    for i, c in enumerate(plane, start=1)
+)
+
+# Shared oracle CTEs: exact-decimal elements, plane table, per-vector
+# projections, and 8-bit bucket ids over an arbitrary `corpus` CTE
+# (vec_id, embedding).
+_BUCKET_CTES = f"""
+planes_raw(plane_id, i, coef) AS (VALUES
+        {_PLANES_VALUES}),
+planes AS (
+    SELECT plane_id, i, CAST(coef AS DECIMAL(10,6)) AS coef FROM planes_raw
+),
+elems AS (
+    SELECT vec_id, CAST(x AS DECIMAL(12,8)) AS x, i
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM corpus) u
+),
+proj AS (
+    SELECT e.vec_id, p.plane_id, SUM(e.x * p.coef) AS dot
+    FROM elems e JOIN planes p ON e.i = p.i
+    GROUP BY 1, 2
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY 1
+)"""
+
+_ORACLE_ANN_LSH = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+),
+{_BUCKET_CTES},
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {_QUERY_VEC_ID}),
+probes AS (
+    SELECT bucket AS pb FROM qb
+    UNION ALL
+    SELECT xor(qb.bucket, CAST(1 << g.g AS BIGINT)) FROM qb, generate_series(0, 7) g(g)
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM buckets b JOIN probes p ON b.bucket = p.pb
+),
+q AS (SELECT x AS qx, i FROM elems WHERE vec_id = {_QUERY_VEC_ID}),
+dots AS (
+    SELECT e.vec_id,
+           CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+           CAST(SUM(e.x * e.x) AS DOUBLE) AS norm2
+    FROM elems e JOIN q ON e.i = q.i
+    WHERE e.vec_id IN (SELECT vec_id FROM cand)
+    GROUP BY 1
+),
+qnorm AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS qnorm2 FROM q)
+SELECT vec_id, ROUND(dot / (SQRT(norm2) * SQRT(qnorm2)), 6) AS cosine_r6
+FROM dots, qnorm
+ORDER BY dot / (SQRT(norm2) * SQRT(qnorm2)) DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+@query("q_cosine_ann_lsh", oracle=_ORACLE_ANN_LSH)
 def q_cosine_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-k (8 seeded hyperplanes + 1-bit multiprobe
-    + exact re-rank). Rows-only (plane constants aren't SQL-portable);
-    deterministic by construction. recall_hint compares against the
-    exact top-k so the result is self-checking."""
+    + exact re-rank), declared in exact-decimal mode: quantized plane
+    constants make bucket ids engine-portable, so the ENTIRE pipeline
+    — bucketing, multiprobe candidate set, re-rank — is verified
+    against a DuckDB oracle with the planes inlined as DECIMAL
+    literals (no more rows-only). The double-projection production
+    path is the same operator with ``exact=False``."""
     emb = t(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
-    ann = lsh_ann_topk(emb, qv, _TOPK)
-    exact = brute_force_topk(emb, qv, _TOPK, exact=False).select(
-        F.col("vec_id").alias("exact_id")
-    )
-    return (
-        ann.join(exact, ann["vec_id"] == exact["exact_id"], "left")
-        .select(
-            "vec_id",
-            F.round("cosine", 6).alias("cosine_r6"),
-            F.col("exact_id").isNotNull().cast("long").alias("in_exact_topk"),
-        )
-        .orderBy(F.desc("cosine_r6"), "vec_id")
-    )
+    ann = lsh_ann_topk(emb, qv, _TOPK, exact=True)
+    return ann.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
 
 @query(
@@ -115,13 +183,54 @@ def q_embedding_norms(spark, sf_dir):
     )
 
 
-@query("q_embedding_neardup")
+_ORACLE_NEARDUP = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * CAST(1.0001 AS DOUBLE) AS FLOAT))
+    FROM embeddings WHERE vec_id % 29 = 0
+),
+{_BUCKET_CTES},
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norm2 AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS n2 FROM elems GROUP BY 1),
+dots AS (
+    SELECT p.id_a, p.id_b, CAST(SUM(ea.x * eb.x) AS DOUBLE) AS dot
+    FROM pairs p
+      JOIN elems ea ON ea.vec_id = p.id_a
+      JOIN elems eb ON eb.vec_id = p.id_b AND ea.i = eb.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.id_a, d.id_b,
+           d.dot / (SQRT(na.n2) * SQRT(nb.n2)) AS cosine
+    FROM dots d
+      JOIN norm2 na ON na.vec_id = d.id_a
+      JOIN norm2 nb ON nb.vec_id = d.id_b
+)
+SELECT id_a, id_b,
+       ROUND(cosine, 6) AS cosine_r6,
+       CAST(id_b - id_a = 1000000 AS BIGINT) AS is_planted_twin
+FROM scored
+WHERE cosine >= 0.999
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_embedding_neardup", oracle=_ORACLE_NEARDUP)
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup detection: planted twin vectors
-    (slightly perturbed copies of every 29th embedding) must pair with
+    (slightly perturbed copies of every 29th embedding) pair with
     their originals at cosine >= 0.999 via an LSH-bucketed pair join —
-    the embedding analogue of MinHash dedup. Rows-only, deterministic."""
-    from ..operators.similarity import _hyperplanes, signed_projection_bucket
+    the embedding analogue of MinHash dedup. Declared in exact-decimal
+    mode (quantized planes + decimal cosine) so buckets, the pair set,
+    and the threshold are all verified against a DuckDB oracle."""
+    from ..operators.similarity import cosine_exact, signed_projection_bucket_exact
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = emb.where(F.col("vec_id") % 29 == 0).select(
@@ -131,15 +240,12 @@ def q_embedding_neardup(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionByName(twins)
-    planes = _hyperplanes(64, 8)
     bucketed = corpus.select(
         "vec_id",
         "embedding",
-        signed_projection_bucket(F.col("embedding"), planes).alias("bucket"),
+        signed_projection_bucket_exact(F.col("embedding"), _PLANES_Q6).alias("bucket"),
     )
     left, right = bucketed.alias("l"), bucketed.alias("r")
-    from ..operators.similarity import cosine_fast
-
     return (
         left.join(
             right,
@@ -149,7 +255,7 @@ def q_embedding_neardup(spark, sf_dir):
         .select(
             F.col("l.vec_id").alias("id_a"),
             F.col("r.vec_id").alias("id_b"),
-            cosine_fast(F.col("l.embedding"), F.col("r.embedding")).alias("cosine"),
+            cosine_exact(F.col("l.embedding"), F.col("r.embedding")).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.999)
         .select(

@@ -107,11 +107,24 @@ def q_percentiles(spark, sf_dir):
 def q_approx_quantiles(spark, sf_dir):
     """Single-pass mergeable quantile sketch — the 100 TB answer to
     percentiles (no per-group sort). Rows-only check: sketch
-    algorithms differ across engines; exactness is q_percentiles."""
+    algorithms differ across engines; exactness is q_percentiles.
+
+    Output is four SCALAR double columns (not one array column): the
+    driver's pandas canonicalizer cannot sort list-valued cells, so
+    declared queries never emit Array/Map types (round-2 lesson; the
+    registry lint in tests/test_oracle_parity.py now enforces this).
+    """
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)").alias(
-            "approx_quantiles"
+    q = F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("_q"))
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].cast("double").alias("ap25"),
+            F.col("_q")[1].cast("double").alias("ap50"),
+            F.col("_q")[2].cast("double").alias("ap75"),
+            F.col("_q")[3].cast("double").alias("ap95"),
         )
     )
 

@@ -23,9 +23,27 @@ def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def _lint_declared_schema(name, sdf):
+    """Declared-output lint (round-2 q_approx_quantiles lesson): the
+    driver's pandas canonicalizer crashes on Array/Map cells and
+    hashes raw Decimal differently engine-to-engine, so no declared
+    query may emit them. No whitelist — convert to scalar doubles or
+    posexplode instead."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    for f in sdf.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, DecimalType)), (
+            f"{name}: declared output column {f.name!r} is {f.dataType} — "
+            "Array/Map crash the driver canonicalizer and raw Decimal "
+            "hash-mismatches; emit scalar double/string columns"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
-    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    frame = QUERIES[name](spark, sf_dir)
+    _lint_declared_schema(name, frame)
+    sdf = frame.toPandas()
     if name not in ORACLES:
         # rows-only contract: runs, deterministic schema
         assert sdf.shape[0] >= 0

@@ -38,6 +38,15 @@ TABLES = (
 
 def canon(v) -> str:
     """Canonical string for a single cell value."""
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        # The driver's pandas canonicalizer dies on list cells
+        # (sort_values -> "unhashable type: 'list'", the round-2
+        # q_approx_quantiles crash). Fail loudly here so the local
+        # gate catches it before the driver does.
+        raise TypeError(
+            f"declared query emitted a container-typed cell ({type(v).__name__}): "
+            "Array/Map outputs crash the driver canonicalizer — emit scalar columns"
+        )
     if v is None:
         return "NULL"
     if isinstance(v, float):
