@@ -80,6 +80,10 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = None
     print(
         json.dumps(
             {
@@ -88,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "load_avg": load_avg,
                 "methodology": "per-query steady-state (2nd run timed; codegen warm)",
             }
         )

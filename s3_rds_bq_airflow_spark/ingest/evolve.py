@@ -45,16 +45,36 @@ _NUM_RANK: dict[type, int] = {
 _RANK_TYPE = {r: t for t, r in _NUM_RANK.items()}
 
 
+# Decimal digits needed to hold any value of each integer rank
+# (byte 3, short 5, int 10, long 19).
+_INT_DIGITS = {1: 3, 2: 5, 3: 10, 4: 19}
+
+
+def _widen_dec_int(dec: T.DecimalType, int_rank: int) -> T.DataType:
+    """Decimal x integer widening. The evolved decimal must hold EVERY
+    value of the integer type — returning ``dec`` unchanged would let
+    ``_conform``'s cast silently NULL an overflowing batch (e.g. a
+    Long batch cast to decimal(5,0))."""
+    if dec.scale != 0:
+        return T.DoubleType()
+    return T.DecimalType(min(38, max(dec.precision, _INT_DIGITS[int_rank])), 0)
+
+
 def _widen(a: T.DataType, b: T.DataType, *, coerce_to_string: bool) -> T.DataType:
     if a == b:
         return a
     ra, rb = _NUM_RANK.get(type(a)), _NUM_RANK.get(type(b))
     if ra is not None and rb is not None:
         return _RANK_TYPE[max(ra, rb)]()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        # max integer digits + max scale holds every value of either
+        scale = max(a.scale, b.scale)
+        intd = max(a.precision - a.scale, b.precision - b.scale)
+        return T.DecimalType(min(38, intd + scale), scale)
     if isinstance(a, T.DecimalType) and rb is not None:
-        return a if rb <= 4 and a.scale == 0 else T.DoubleType()
+        return _widen_dec_int(a, rb) if rb <= 4 else T.DoubleType()
     if isinstance(b, T.DecimalType) and ra is not None:
-        return b if ra <= 4 and b.scale == 0 else T.DoubleType()
+        return _widen_dec_int(b, ra) if ra <= 4 else T.DoubleType()
     if T.StringType() in (a, b):
         return T.StringType()
     if coerce_to_string:

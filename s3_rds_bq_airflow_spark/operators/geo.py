@@ -63,6 +63,9 @@ def grid_nearest_neighbor(
     rlat, rlng = right_coords
     if {llat, llng} & {rlat, rlng}:
         raise ValueError("left/right coordinate column names must differ")
+    if left_key == right_key:
+        # same key name would make every post-join reference ambiguous
+        raise ValueError("left_key and right_key column names must differ")
     lcell = left.select(
         left_key,
         llat,

@@ -11,8 +11,9 @@ recall for scan fraction (~n_probe/n_centroids of the corpus).
 
 Everything is DataFrame ops and deterministic:
 
-- init: the ``n_centroids`` vectors with the smallest ``xxhash64(id)``
-  — a seeded pseudo-random draw with no RNG state;
+- init: the ``n_centroids`` vectors with the smallest ``md5(id)``
+  — a seeded pseudo-random draw with no RNG state, computed
+  identically by any engine (the basis of the SQL oracle);
 - Lloyd iterations: assign = broadcast-centroid join + per-vector
   top-1 window (centroid count is small by construction — broadcast
   is the right plan at any corpus size); update = element-wise mean
@@ -28,6 +29,20 @@ shuffle is one (cid, pos) aggregate over dim-exploded rows.
 Correctness anchor: probing ALL cells is exactly brute force —
 pinned in tests; recall at small n_probe is pinned on planted
 structure.
+
+``exact=True`` (the oracle-checked verification gear, mirroring the
+LSH exact mode in ``similarity.py``): input vectors are quantized
+ONCE to scale-3 integers (``x -> CAST(x AS DECIMAL(9,3)) * 1000`` —
+the float->decimal cast is engine-portable), centroids are exact
+integer COMPONENT SUMS of their members (cosine is scale-invariant,
+so sum ≡ mean for assignment/probing — no division anywhere), and
+every ordering key is ``dot / sqrt(norm2)`` computed from exact
+integer aggregates. All integers stay far below 2^53 (|x| < 1, dim
+64, corpus <= millions), so the int->double casts are EXACT and the
+remaining sqrt/divide are single correctly-rounded IEEE ops — the
+keys, hence the assignments, probes, and final top-k, are
+bit-identical on any engine. The whole fit+search pipeline becomes a
+DuckDB-expressible oracle (queries/similarity.py).
 """
 
 from __future__ import annotations
@@ -43,6 +58,39 @@ def _rebuild(vec_struct_list):  # ordered array<float> from (pos, x) structs
     return F.transform(F.array_sort(vec_struct_list), lambda s: s["x"])
 
 
+_Q_SCALE = 1000  # exact mode: 3-dp quantization (see module docstring)
+
+
+def _quantize_long(vec):
+    """array<float> -> array<long>, x -> round-half-up at 3 dp x1000.
+    The float->DECIMAL cast is the engine-portable quantization step
+    (same mechanism as DECIMAL(12,8) in similarity.py); x1000 is an
+    exact decimal scale shift, the final cast drops nothing."""
+    col = vec if not isinstance(vec, str) else F.col(vec)
+    return F.transform(col, lambda x: (x.cast("decimal(9,3)") * _Q_SCALE).cast("long"))
+
+
+def _dot_long(a, b):
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ckey(dot, norm2):
+    """Assignment/probe ordering key ``dot / |c|`` from exact integer
+    aggregates (|x| is constant per row — irrelevant to the argmax).
+    Inputs < 2^53, so the casts are exact and sqrt/divide are single
+    correctly-rounded IEEE ops: bit-identical across engines. A
+    zero-norm centroid (fully cancelled cell) keys below any cosine."""
+    return F.when(norm2 == 0, F.lit(-2.0)).otherwise(
+        dot.cast("double") / F.sqrt(norm2.cast("double"))
+    )
+
+
 def ivf_fit(
     embeddings: DataFrame,
     *,
@@ -50,26 +98,37 @@ def ivf_fit(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iters: int = 2,
+    exact: bool = False,
 ) -> DataFrame:
-    """Fit coarse centroids; returns (cid int, cvec array)."""
+    """Fit coarse centroids; returns (cid int, cvec array).
+
+    ``exact=True``: cvec is the scale-3 integer COMPONENT SUM of the
+    cell's quantized members (array<long>) — direction-equivalent to
+    the mean under cosine, exactly reproducible in SQL."""
     seed_rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
     )
     w = W.orderBy(F.col(id_col))
     centroids = seed_rows.select(
         (F.row_number().over(w) - 1).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
+        (
+            _quantize_long(F.col(vec_col))
+            if exact
+            else F.col(vec_col).cast("array<double>")
+        ).alias("cvec"),
     )
     for _ in range(n_iters):
         assigned = ivf_assign(
-            embeddings, centroids, id_col=id_col, vec_col=vec_col
+            embeddings, centroids, id_col=id_col, vec_col=vec_col, exact=exact
         )
+        member_vec = _quantize_long(F.col(vec_col)) if exact else F.col(vec_col)
+        agg = F.sum("x").cast("long").alias("x") if exact else F.avg("x").alias("x")
         means = (
-            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            assigned.select("cid", F.posexplode(member_vec).alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("x"))
+            .agg(agg)
         )
         new_means = means.groupBy("cid").agg(
             _rebuild(F.collect_list(F.struct("pos", "x"))).alias("cvec")
@@ -96,12 +155,25 @@ def ivf_assign(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """Attach each vector's nearest-centroid ``cid`` (cosine metric,
-    ties to the smaller cid)."""
-    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_fast(F.col(vec_col), F.col("cvec"))
-    )
+    ties to the smaller cid). ``exact=True`` expects integer-sum
+    centroids from ``ivf_fit(exact=True)`` and orders by the
+    engine-portable integer key instead of double cosine."""
+    if exact:
+        cents = F.broadcast(
+            centroids.select("cid", "cvec", _dot_long("cvec", "cvec").alias("__cn2"))
+        )
+        scored = (
+            embeddings.withColumn("__xi", _quantize_long(F.col(vec_col)))
+            .crossJoin(cents)
+            .withColumn("__sim", _ckey(_dot_long("__xi", "cvec"), F.col("__cn2")))
+        )
+    else:
+        scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+            "__sim", cosine_fast(F.col(vec_col), F.col("cvec"))
+        )
     w = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -125,16 +197,22 @@ def ivf_topk(
     re-rank inside them. ``assigned`` is ``ivf_assign`` output (at
     scale: persisted partitionBy(cid) so probes prune files).
 
-    ``exact=True`` re-ranks candidates with the decimal-exact cosine
-    (engine-portable ordering — with full probe the result is
-    bit-identical to the brute-force oracle); cell selection stays on
-    the fast double path either way."""
+    ``exact=True`` (with ``exact`` fit/assign output) selects probe
+    cells by the engine-portable integer key and re-ranks candidates
+    with the decimal-exact cosine — the fully oracle-checkable mode;
+    with full probe the result is bit-identical to the brute-force
+    oracle. Default double path is the throughput mode."""
     q = query_vec.select(F.col(vec_col).alias("_qvec"))
+    if exact:
+        csim = _ckey(
+            _dot_long("cvec", _quantize_long(F.col("_qvec"))),
+            _dot_long("cvec", "cvec"),
+        )
+    else:
+        csim = cosine_fast(F.col("cvec"), F.col("_qvec"))
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
-        .select(
-            "cid", "_qvec", cosine_fast(F.col("cvec"), F.col("_qvec")).alias("__csim")
-        )
+        .select("cid", "_qvec", csim.alias("__csim"))
         .orderBy(F.col("__csim").desc(), F.col("cid"))
         .limit(n_probe)
         .select("cid", "_qvec")

@@ -18,7 +18,7 @@ predicates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["rate_threshold_hex", "weighted_mix"]
 
@@ -51,9 +51,8 @@ def weighted_mix(
     the group column and one md5 per row.
     """
     hexpart = F.substring(F.md5(F.col(key_col).cast("string")), 1, 6)
-    cond: Column | None = None
     expr = F.lit(rate_threshold_hex(default_rate))
     for group, rate in sorted(rates.items()):
         expr = F.when(F.col(group_col) == group, F.lit(rate_threshold_hex(rate))).otherwise(expr)
-    # '1000000' sorts above every md5 hex prefix -> rate 1.0 keeps all.
+    # rate 1.0 thresholds at "g", above every hex char -> keeps all.
     return df.where(hexpart < expr)

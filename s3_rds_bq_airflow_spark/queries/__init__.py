@@ -34,70 +34,61 @@ from . import trainprep  # noqa: E402,F401
 
 # The driver verifies in iteration order and caps its batch at ~50
 # entries per round, so enumeration order is a verification-evidence
-# budget. Three tiers:
-#   1. (default order) queries with NO driver row yet whose operator
-#      family also has no green sibling — these must surface first;
-#   2. _DEFER_NONGREEN: no driver row yet, but their family is already
-#      evidenced green (TPC-H star-join/agg variants — q1/q3/q5/q6
-#      passed in round 1) or a twin is ahead of them in tier 1;
-#   3. _DRIVER_GREEN_R01: green in round 1 — last.
-# q_math_funcs is intentionally in tier 1: its round-1 row was a hash
-# FAIL (decimal-vs-double) — fixed since, needs a fresh row.
-_DEFER_NONGREEN = (
-    # Round-2 additions whose operator family already has green rows
-    # (scalar / movement); novel-family round-2 queries stay in tier 1.
-    # Family-redundant tier-1 members demoted to keep tier 1 at the
-    # ~50-entry driver cap (each has a sibling shape ahead of it):
-    "q_sequence_packing",      # greedy variant carries the family
-    "q_stratified_sample",     # q_hash_sample green r1
-    "q_monthly_trend",         # date family green r1
-    "q_array_funcs",           # scalar family green r1
-    "q_pivot_event_type",      # events family via q_event_rate_per_user
-    "q_json_unpack_view",      # same from_json machinery as q_fixed_wrap_roundtrip
-    "q_sql_surface",           # SQL-API twin of green DataFrame queries
-    "q_image_decode_real",
-    "q_audio_decode_real",
-    "q_image_resize_real",
-    "q_resample_ffill",
-    "q_incremental_dedup",
-    "q_incremental_quantiles",
-    "q_incremental_rollup",
-    "q_ledger_ingest",
-    "q_pagerank_cycle",
-    "q_udtf_sentences",
-    "q_pandas_udaf_ols",
-    "q_cdc_tombstones",
-    "q_compaction",
-    "q_unpivot",
-    "q_array_lambda",
-    "q_geojson_points",
-    "q_uuid_deterministic",
-    "q_format_matrix",
-    "q_schema_evolution",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q21_waiting_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_supplier_share",
-    "q22_dormant_rich",
-    "q_argmax_join_back",
-    "q_exists_combo",
-    "q_haversine_nearest",
-)
-
-_DRIVER_GREEN_R01 = (
+# budget. Two tiers:
+#   1. (default order) the 47 queries with NO driver row after rounds
+#      1-3 — they fit the ~50 cap and must ALL surface this round;
+#   2. _DRIVER_CHECKED: every query with a driver row in
+#      CORRECTNESS_r01 ∪ r02 ∪ r03 (green or rows-only) — last.
+_DRIVER_CHECKED = (
+    "q_math_funcs",
+    "q_jsonschema_silver",
+    "q_fixed_wrap_roundtrip",
+    "q_ts_serialization",
+    "q_partition_retention",
+    "q_hilbert_layout",
+    "q_scd2_asof",
+    "q_cosine_ann_lsh",
+    "q_embedding_norms",
+    "q_embedding_neardup",
+    "q_knn_join",
+    "q_cosine_ann_ivf",
+    "q_binary_metadata",
+    "q_frame_sample",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_watermark_finality",
+    "q_event_rate_per_user",
+    "q_stream_tumbling",
+    "q_stream_sessionize",
+    "q_stream_exactly_once",
+    "q_stream_join",
+    "q_asof_join",
+    "q_range_join",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_percentiles",
+    "q_approx_quantiles",
+    "q_skew_detect",
+    "q_histogram_quantiles",
+    "q_profile_table",
+    "q_stats_moments",
+    "q_nearest_supplier",
+    "q_quality_report",
+    "q_nearest_supplier_bucketed",
+    "q_dedup_clusters",
+    "q_label_propagation",
+    "q_token_topk",
+    "q_hash_sample",
+    "q_window_range",
+    "q_ntile",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_pii_redaction",
+    "q_contamination_13gram",
+    "q_domain_mixture",
+    "q_sequence_packing_greedy",
+    "q_corpus_pipeline",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
@@ -148,6 +139,6 @@ _DRIVER_GREEN_R01 = (
     "q_ngram_jaccard",
     "q_cosine_topk_exact",
 )
-deprioritize(_DEFER_NONGREEN + _DRIVER_GREEN_R01)
+deprioritize(_DRIVER_CHECKED)
 
 __all__ = ["all_queries", "all_oracles", "query"]

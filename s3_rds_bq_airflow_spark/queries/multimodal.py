@@ -1,6 +1,6 @@
 """Multimodal-column queries: binary payload metadata (oracle-checked
-JVM-side path) and the stubbed decode pipeline (mapInPandas plumbing,
-rows-only).
+JVM-side path) and the real BMP/WAV decode pipeline (mapInPandas
+plumbing with closed-form oracles).
 
 The corpus has no real media, so payloads are derived
 deterministically from document text (UTF-8 bytes) — an opaque blob
@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import FEATURE_DIM, extract_media_features
 from .registry import query
 from ._util import t
 
@@ -48,28 +47,6 @@ def q_binary_metadata(spark, sf_dir):
     )
 
 
-@query("q_media_decode_stub")
-def q_media_decode_stub(spark, sf_dir):
-    """The stubbed decode/feature pipeline end-to-end: binary payloads
-    -> mapInPandas (Arrow batches) -> fixed-dim feature vectors +
-    dead-letter status. Rows-only (Python-side stub isn't SQL);
-    deterministic byte-statistics features."""
-    docs = (
-        t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 10 == 0)
-        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
-    feats = extract_media_features(docs)
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        "content_sha256",
-        "decode_status",
-        F.size("feature").alias("feature_dim"),
-        F.round(F.element_at("feature", 1), 6).alias("feat0_r6"),
-    ).orderBy("doc_id")
-
-
 @query(
     "q_frame_sample",
     oracle="""
@@ -97,8 +74,8 @@ def q_frame_sample(spark, sf_dir):
     """Frame sampling plumbing (video/audio shape): sequence ->
     posexplode -> binary slice, one row per 256-byte frame at a
     128-byte stride; frames identified by content digest. All JVM
-    expressions — the stubbed decode (q_media_decode_stub) consumes
-    exactly this fan-out shape."""
+    expressions — the real media decoders (q_image_decode_real /
+    q_audio_decode_real) consume exactly this fan-out shape."""
     from ..operators.multimodal import sample_frames
 
     docs = (

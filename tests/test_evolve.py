@@ -34,6 +34,53 @@ def test_numeric_widening_chain():
     )
 
 
+def test_decimal_int_widening_no_overflow():
+    # decimal(5,0) x long widens to decimal(19,0) — returning the
+    # narrow decimal unchanged would silently NULL overflowing longs.
+    cur = _st(("x", T.DecimalType(5, 0)))
+    assert evolve_schema(cur, _st(("x", T.LongType())))["x"].dataType == T.DecimalType(
+        19, 0
+    )
+    # already-wide decimal stays put
+    cur38 = _st(("x", T.DecimalType(38, 0)))
+    assert evolve_schema(cur38, _st(("x", T.LongType())))["x"].dataType == T.DecimalType(
+        38, 0
+    )
+    # mirrored (decimal in the batch)
+    assert evolve_schema(_st(("x", T.IntegerType())), cur)["x"].dataType == T.DecimalType(
+        10, 0
+    )
+    # fractional decimal x integer -> double (unchanged behavior)
+    curf = _st(("x", T.DecimalType(10, 2)))
+    assert evolve_schema(curf, _st(("x", T.LongType())))["x"].dataType == T.DoubleType()
+
+
+def test_decimal_decimal_widening():
+    out = evolve_schema(
+        _st(("x", T.DecimalType(10, 2))), _st(("x", T.DecimalType(12, 4)))
+    )
+    assert out["x"].dataType == T.DecimalType(12, 4)
+    out = evolve_schema(
+        _st(("x", T.DecimalType(20, 0))), _st(("x", T.DecimalType(10, 4)))
+    )
+    # 20 integer digits + 4 fractional
+    assert out["x"].dataType == T.DecimalType(24, 4)
+
+
+def test_evolved_union_decimal_long_values_survive(spark):
+    from decimal import Decimal
+
+    big = 9_007_199_254_740_993  # > 2^53 and >> decimal(5,0)
+    b1 = spark.createDataFrame(
+        [(Decimal(1),)], _st(("x", T.DecimalType(5, 0)))
+    )
+    b2 = spark.createDataFrame([(big,)], _st(("x", T.LongType())))
+    out = evolved_union([b1, b2])
+    assert out.schema["x"].dataType == T.DecimalType(19, 0)
+    vals = {int(r["x"]) for r in out.collect()}
+    assert vals == {1, big}  # no silent NULLs
+
+
 def test_incompatible_drift_rejected_or_coerced():
     cur = _st(("x", T.TimestampType()))
     nxt = _st(("x", T.BooleanType()))

@@ -29,13 +29,27 @@ def _lint_declared_schema(name, sdf):
     hashes raw Decimal differently engine-to-engine, so no declared
     query may emit them. No whitelist — convert to scalar doubles or
     posexplode instead."""
-    from pyspark.sql.types import ArrayType, DecimalType, MapType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    bad = (ArrayType, MapType, DecimalType, StructType)
+
+    def walk(dt):
+        yield dt
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                yield from walk(f.dataType)
+        elif isinstance(dt, ArrayType):
+            yield from walk(dt.elementType)
+        elif isinstance(dt, MapType):
+            yield from walk(dt.keyType)
+            yield from walk(dt.valueType)
 
     for f in sdf.schema.fields:
-        assert not isinstance(f.dataType, (ArrayType, MapType, DecimalType)), (
+        assert not any(isinstance(dt, bad) for dt in walk(f.dataType)), (
             f"{name}: declared output column {f.name!r} is {f.dataType} — "
-            "Array/Map crash the driver canonicalizer and raw Decimal "
-            "hash-mismatches; emit scalar double/string columns"
+            "Array/Map/Struct cells crash the driver canonicalizer and raw "
+            "Decimal hash-mismatches (top-level or nested); emit scalar "
+            "double/string columns"
         )
 
 

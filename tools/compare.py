@@ -122,10 +122,16 @@ def main() -> int:
         if len(sdf) != len(odf):
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
         if not problems:
-            srows, orows = frame_rows(sdf), frame_rows(odf)
-            if srows != orows:
-                diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
-                problems.append(f"values: {len(diffs)} differing rows; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+            try:
+                srows, orows = frame_rows(sdf), frame_rows(odf)
+            except TypeError as e:
+                # container-typed cell (canon raises) — record this
+                # query's FAIL and keep checking the rest
+                problems.append(str(e))
+            else:
+                if srows != orows:
+                    diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
+                    problems.append(f"values: {len(diffs)} differing rows; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             failures.append(name)
