@@ -79,6 +79,98 @@ def cluster_sizes(labels: DataFrame) -> DataFrame:
     return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
 
 
+def star_contraction_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the scale path ``connected_components``'s docstring
+    promises for pathological diameters: label propagation needs
+    diameter-many rounds (a 10M-node chain = 10M shuffles), star
+    contraction provably converges in O(log^2 n) rounds regardless
+    of shape, each round two grouped aggregates + joins on edge
+    keys. Same contract as ``connected_components``: returns
+    (id, cluster_id) with cluster_id = min reachable id.
+
+    - large-star: every neighbor LARGER than u re-parents to
+      m(u) = min(neighbors(u) + {u}) — shrinks tall structures;
+    - small-star: every neighbor SMALLER than u (and u itself)
+      re-parents to the min smaller neighbor — flattens into stars.
+
+    Fixpoint = the edge set stops changing (checked by a count +
+    order-independent hash signature, one bounded scalar collect per
+    round); the final edges are stars (child -> component min), so
+    the labeling is a single left join, singletons labeling
+    themselves.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # large-star
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            bidir.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large-star output, edges directed big->small
+        directed = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("bu"),
+            F.least(F.col("u"), F.col("v")).alias("bv"),
+        ).distinct()
+        mins2 = directed.groupBy("bu").agg(F.min("bv").alias("m"))
+        e_new = (
+            directed.join(mins2, "bu")
+            .select(F.col("bv").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("bu").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e_new.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: full-range hash values overflow a long
+            # accumulator under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e = e_new
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star_contraction_components: no fixpoint in {max_iterations} rounds"
+        )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(
+            e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+    )
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,

@@ -90,6 +90,93 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
+def plan_tree(df: DataFrame) -> list[tuple[int, str, int, int | None]]:
+    """Parse the formatted plan's tree section into
+    ``(id, name, depth, parent_id)`` rows. Depth derives from the
+    3-char indent unit of explain-formatted trees, so subtree
+    membership (e.g. "what sits under this BroadcastExchange") is
+    checkable — node LISTS can't answer that."""
+    text = formatted_plan(df).split("\n\n")[0]
+    rows: list[tuple[int, str, int, int | None]] = []
+    stack: list[tuple[int, int]] = []  # (depth, id)
+    for line in text.splitlines():
+        m = re.match(r"^([ :+|-]*?)([A-Za-z][^(]*)\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        prefix, name, nid = m.group(1), m.group(2).strip(), int(m.group(3))
+        depth = len(prefix) // 3
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        rows.append((nid, name, depth, parent))
+        stack.append((depth, nid))
+    return rows
+
+
+_BOUNDING_OPS = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    # A Filter is "bounding" in the weaker selective sense: the
+    # broadcast of a point-filtered scan (query vector, small dim
+    # slice) is the standard pattern. What this list must NEVER
+    # absolve is a bare unfiltered scan shipped whole.
+    "Filter",
+)
+
+
+def unbounded_broadcast_scans(df: DataFrame) -> list[int]:
+    """Scan node ids that sit inside a BroadcastExchange subtree with
+    NO bounding operator (limit / top-k / aggregate / selective
+    filter) between the scan and the exchange — i.e. a full relation
+    shipped verbatim to every executor. Empty list = no broadcast
+    side re-materializes an entire input relation, the property that
+    keeps the plan valid at 100 TB."""
+    tree = plan_tree(df)
+    by_id = {nid: (name, parent) for nid, name, _, parent in tree}
+    offenders = []
+    for nid, name, _, _ in tree:
+        if not name.startswith("Scan"):
+            continue
+        # walk ancestors up to the nearest BroadcastExchange (if any)
+        path: list[str] = []
+        cur = by_id[nid][1]
+        while cur is not None:
+            pname = by_id[cur][0]
+            if pname.startswith("BroadcastExchange"):
+                if not any(p.startswith(_BOUNDING_OPS) for p in path):
+                    offenders.append(nid)
+                break
+            path.append(pname)
+            cur = by_id[cur][1]
+    return offenders
+
+
+def scan_tables(df: DataFrame) -> dict[int, str]:
+    """Scan node id -> table name (parquet file stem from the detail
+    section's Location line)."""
+    out: dict[int, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) Scan parquet.*?Location:[^\[\n]*\[([^\]]*)\]",
+        formatted_plan(df),
+        re.M | re.S,
+    ):
+        loc = m.group(2).split(",")[0].strip()
+        stem = loc.rstrip("/").rsplit("/", 1)[-1]
+        out[int(m.group(1))] = stem.removesuffix(".parquet")
+    return out
+
+
+def unbounded_broadcast_tables(df: DataFrame) -> set[str]:
+    """Table names whose scans feed a BroadcastExchange with no
+    bounding op in between. Fact tables must never appear here."""
+    tables = scan_tables(df)
+    return {tables.get(nid, f"scan#{nid}") for nid in unbounded_broadcast_scans(df)}
+
+
 # ---- assertions -----------------------------------------------------------
 
 

@@ -61,6 +61,53 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "q_dedup_clusters_star",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY MD5({NORMALIZE_SQL})) AS cluster_id,
+           COUNT(*)    OVER (PARTITION BY MD5({NORMALIZE_SQL})) AS cluster_size
+    FROM corpus
+    """,
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same planted path-graph clustering as q_dedup_clusters, solved
+    by large-star/small-star contraction
+    (`operators/cluster.py::star_contraction_components`) instead of
+    min-label propagation — the O(log^2 n)-round algorithm that
+    survives pathological diameters at 100 TB. The oracle (and thus
+    the hash) is IDENTICAL to q_dedup_clusters: both algorithms must
+    produce the same transitive closure."""
+    from ..operators.cluster import star_contraction_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.unionByName(
+        seeds.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(seeds.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    fp = corpus.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_fp"))
+    w = W.partitionBy("content_fp").orderBy("doc_id")
+    edges = (
+        fp.withColumn("prev_id", F.lag("doc_id").over(w))
+        .where(F.col("prev_id").isNotNull())
+        .select(F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    nodes = fp.select(F.col("doc_id").alias("id"))
+    labels = star_contraction_components(nodes, edges)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+    )
+
+
+@query(
     "q_label_propagation",
     oracle="""
     SELECT c_custkey,

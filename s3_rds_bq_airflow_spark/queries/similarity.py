@@ -217,7 +217,7 @@ SELECT id_a, id_b,
        ROUND(cosine, 6) AS cosine_r6,
        CAST(id_b - id_a = 1000000 AS BIGINT) AS is_planted_twin
 FROM scored
-WHERE cosine >= 0.999
+WHERE ROUND(cosine, 6) >= 0.999
 ORDER BY id_a, id_b
 """
 
@@ -240,11 +240,14 @@ def q_embedding_neardup(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionByName(twins)
+    # materialize the bucketed corpus ONCE: the exact-decimal
+    # projection is ~512 decimal multiplies per row, and the self-join
+    # below would otherwise evaluate it independently on both sides
     bucketed = corpus.select(
         "vec_id",
         "embedding",
         signed_projection_bucket_exact(F.col("embedding"), _PLANES_Q6).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     left, right = bucketed.alias("l"), bucketed.alias("r")
     return (
         left.join(
@@ -257,7 +260,10 @@ def q_embedding_neardup(spark, sf_dir):
             F.col("r.vec_id").alias("id_b"),
             cosine_exact(F.col("l.embedding"), F.col("r.embedding")).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.999)
+        # threshold on the ROUNDED value: the raw double can differ by
+        # ~1 ulp between engines (decimal->double cast), so membership
+        # at the boundary must be decided on the quantized cosine
+        .where(F.round(F.col("cosine"), 6) >= 0.999)
         .select(
             "id_a",
             "id_b",
@@ -318,31 +324,116 @@ def q_knn_join(spark, sf_dir):
     return out.select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r6"))
 
 
-@query("q_cosine_ann_ivf")
+# ---------------------------------------------------------------------------
+# Hash-checkable IVF: the whole pipeline — md5 seeding, 2 Lloyd rounds
+# with integer-sum centroids, portable assignment keys, probe-cell
+# ranking, exact-decimal re-rank — replayed as chained DuckDB CTEs.
+# Centroids live as (cid, i, x) rows in SQL; every aggregate is an
+# exact integer SUM and every ordering key is the same fixed IEEE
+# double expression Spark computes (see operators/ivf.py docstring).
+# ---------------------------------------------------------------------------
+_IVF_N_CENTROIDS = 16
+_IVF_N_PROBE = 4
+
+
+def _ivf_assign_ctes(tag: str, cents: str) -> str:
+    """CTE triple assigning every vector to its best cell in ``cents``
+    ((cid, i, x) integer rows): norms, dots, then the row_number pick
+    with the engine-portable key and (key DESC, cid) tie-break."""
+    return f"""
+n{tag} AS (SELECT cid, CAST(SUM(x * x) AS BIGINT) AS n2 FROM {cents} GROUP BY cid),
+d{tag} AS (SELECT e.vec_id, c.cid, CAST(SUM(e.x * c.x) AS BIGINT) AS dot
+           FROM xi e JOIN {cents} c ON e.i = c.i
+           GROUP BY e.vec_id, c.cid),
+a{tag} AS (SELECT vec_id, cid FROM (
+             SELECT d.vec_id, d.cid,
+                    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                      CASE WHEN n.n2 = 0 THEN -2.0
+                           ELSE CAST(d.dot AS DOUBLE) / SQRT(CAST(n.n2 AS DOUBLE)) END DESC,
+                      d.cid) AS rn
+             FROM d{tag} d JOIN n{tag} n ON d.cid = n.cid) r
+           WHERE rn = 1)"""
+
+
+_ORACLE_ANN_IVF = f"""
+WITH xi AS (
+    SELECT vec_id, i, CAST(CAST(x AS DECIMAL(9,3)) * 1000 AS BIGINT) AS x
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) u
+),
+seeds AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT vec_id FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {_IVF_N_CENTROIDS}) s
+),
+c0 AS (SELECT s.cid, e.i, e.x FROM seeds s JOIN xi e ON e.vec_id = s.vec_id),
+{_ivf_assign_ctes("0", "c0")},
+s1 AS (SELECT a.cid, e.i, CAST(SUM(e.x) AS BIGINT) AS x
+       FROM a0 a JOIN xi e ON e.vec_id = a.vec_id GROUP BY a.cid, e.i),
+c1 AS (SELECT * FROM s1 UNION ALL
+       SELECT * FROM c0 WHERE cid NOT IN (SELECT DISTINCT cid FROM s1)),
+{_ivf_assign_ctes("1", "c1")},
+s2 AS (SELECT a.cid, e.i, CAST(SUM(e.x) AS BIGINT) AS x
+       FROM a1 a JOIN xi e ON e.vec_id = a.vec_id GROUP BY a.cid, e.i),
+c2 AS (SELECT * FROM s2 UNION ALL
+       SELECT * FROM c1 WHERE cid NOT IN (SELECT DISTINCT cid FROM s2)),
+{_ivf_assign_ctes("2", "c2")},
+qd AS (SELECT c.cid, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+       FROM (SELECT i, x FROM xi WHERE vec_id = {_QUERY_VEC_ID}) q
+       JOIN c2 c ON c.i = q.i GROUP BY c.cid),
+probes AS (SELECT cid FROM (
+    SELECT q.cid,
+           ROW_NUMBER() OVER (ORDER BY
+             CASE WHEN n.n2 = 0 THEN -2.0
+                  ELSE CAST(q.dot AS DOUBLE) / SQRT(CAST(n.n2 AS DOUBLE)) END DESC,
+             q.cid) AS rn
+    FROM qd q JOIN n2 n ON q.cid = n.cid) r
+  WHERE rn <= {_IVF_N_PROBE}),
+cand AS (SELECT vec_id FROM a2 WHERE cid IN (SELECT cid FROM probes)),
+elems AS (
+    SELECT vec_id, CAST(x AS DECIMAL(12,8)) AS x, i
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) u
+),
+q AS (SELECT x AS qx, i FROM elems WHERE vec_id = {_QUERY_VEC_ID}),
+dots AS (
+    SELECT e.vec_id,
+           CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+           CAST(SUM(e.x * e.x) AS DOUBLE) AS norm2
+    FROM elems e JOIN q ON e.i = q.i
+    WHERE e.vec_id IN (SELECT vec_id FROM cand)
+    GROUP BY e.vec_id
+),
+qnorm AS (SELECT CAST(SUM(qx * qx) AS DOUBLE) AS qnorm2 FROM q)
+SELECT vec_id, ROUND(dot / (SQRT(norm2) * SQRT(qnorm2)), 6) AS cosine_r6
+FROM dots, qnorm
+ORDER BY dot / (SQRT(norm2) * SQRT(qnorm2)) DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+@query("q_cosine_ann_ivf", oracle=_ORACLE_ANN_IVF)
 def q_cosine_ann_ivf(spark, sf_dir):
     """IVF ANN top-k (`operators/ivf.py`): 16 k-means cells fit with
     2 deterministic Lloyd rounds, probe the 4 best cells, exact
     re-rank inside them — the inverted-list family next to the LSH
-    path, with recall directly tunable by n_probe. Rows-only
-    (iterative fit isn't SQL-expressible); self-checking via
-    in_exact_topk against the brute-force answer, and full-probe ==
-    brute-force is pinned in tests/test_ivf.py."""
+    path, with recall directly tunable by n_probe. Declared in exact
+    mode (md5 seeding + scale-3 integer quantization + integer-sum
+    centroids + portable ordering keys), so fit, assignment, probing,
+    and the re-rank are ALL verified against a DuckDB oracle that
+    replays the pipeline in SQL — no more rows-only. The double path
+    (exact=False) is the same operator in throughput gear; full-probe
+    == brute-force stays pinned in tests/test_ivf.py."""
     from ..operators.ivf import ivf_assign, ivf_fit, ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
-    centroids = ivf_fit(emb, n_centroids=16, n_iters=2)
-    assigned = ivf_assign(emb, centroids)
-    ann = ivf_topk(assigned, centroids, qv, k=_TOPK, n_probe=4)
-    exact = brute_force_topk(emb, qv, _TOPK, exact=False).select(
-        F.col("vec_id").alias("exact_id")
+    centroids = ivf_fit(emb, n_centroids=_IVF_N_CENTROIDS, n_iters=2, exact=True)
+    assigned = ivf_assign(emb, centroids, exact=True)
+    ann = ivf_topk(
+        assigned, centroids, qv, k=_TOPK, n_probe=_IVF_N_PROBE, exact=True
     )
-    return (
-        ann.join(exact, ann["vec_id"] == exact["exact_id"], "left")
-        .select(
-            "vec_id",
-            F.round("cosine", 6).alias("cosine_r6"),
-            F.col("exact_id").isNotNull().cast("long").alias("in_exact_topk"),
-        )
-        .orderBy(F.desc("cosine_r6"), "vec_id")
-    )
+    return ann.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))

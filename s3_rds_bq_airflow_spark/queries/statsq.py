@@ -231,15 +231,50 @@ def q_quality_report(spark, sf_dir):
     )
 
 
-@query("q_haversine_nearest")
+@query(
+    "q_haversine_nearest",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               radians(CAST(c_custkey % 180 - 90 AS DOUBLE) * 0.9) AS c_lat,
+               radians(CAST(c_custkey % 360 - 180 AS DOUBLE)) AS c_lng
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               radians(CAST(s_suppkey % 180 - 90 AS DOUBLE) * 0.9) AS s_lat,
+               radians(CAST(s_suppkey % 360 - 180 AS DOUBLE)) AS s_lng
+        FROM supplier
+    ),
+    d AS (
+        SELECT c_custkey, s_suppkey,
+               2 * 6371.0 * ASIN(SQRT(
+                   SIN((s_lat - c_lat) / 2) * SIN((s_lat - c_lat) / 2)
+                   + COS(c_lat) * COS(s_lat)
+                     * SIN((s_lng - c_lng) / 2) * SIN((s_lng - c_lng) / 2)
+               )) AS dist_km
+        FROM cust, supp
+    ),
+    r AS (
+        SELECT c_custkey, s_suppkey, dist_km,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                  ORDER BY ROUND(dist_km, 6), s_suppkey) AS rn
+        FROM d
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey,
+           ROUND(dist_km, 3) AS dist_km_r3
+    FROM r WHERE rn = 1
+    """,
+)
 def q_haversine_nearest(spark, sf_dir):
     """Geolocation distance op (reference dataset's geolocation table
     semantics, zip->lat/lng joins): nearest supplier by great-circle
     distance over synthetic key-derived coordinates. All JVM trig, no
-    UDF. Rows-only: libm transcendentals aren't bit-portable across
-    engines — determinism within Spark is covered by the fixed
-    tie-break, and metric correctness by the euclidean twin
-    (q_nearest_supplier)."""
+    UDF. libm transcendentals agree only to ~1 ulp across engines, so
+    the argmin DECISION orders by the 6-dp-rounded distance (1 mm
+    granularity — ulp noise can't flip it) with the suppkey tie-break;
+    the reported distance rounds to 3 dp as usual. Metric correctness
+    against a brute-force euclidean twin: q_nearest_supplier."""
     from pyspark.sql import Window as W
 
     cust = (
@@ -262,7 +297,9 @@ def q_haversine_nearest(spark, sf_dir):
     dlng = (F.col("s_lng") - F.col("c_lng")) / 2
     a = F.sin(dlat) * F.sin(dlat) + F.cos(F.col("c_lat")) * F.cos(F.col("s_lat")) * F.sin(dlng) * F.sin(dlng)
     dist_km = 2 * 6371.0 * F.asin(F.sqrt(a))
-    w = W.partitionBy("c_custkey").orderBy(F.col("dist_km"), F.col("s_suppkey"))
+    w = W.partitionBy("c_custkey").orderBy(
+        F.round(F.col("dist_km"), 6), F.col("s_suppkey")
+    )
     return (
         cust.crossJoin(supp)
         .withColumn("dist_km", dist_km)

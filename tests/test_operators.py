@@ -113,6 +113,51 @@ def test_connected_components_string_ids(spark):
     assert labels == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """Large-star/small-star contraction must produce the same
+    labeling as min-label propagation on a mixed graph: a 40-node
+    chain (the pathological-diameter shape the algorithm exists for —
+    label propagation needs 40 rounds, contraction O(log n)), a
+    triangle, and isolated singletons."""
+    from s3_rds_bq_airflow_spark.operators.cluster import (
+        connected_components,
+        star_contraction_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)]  # 41-node path
+    tri = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(chain + tri, ["id_a", "id_b"])
+    node_ids = sorted({x for e in chain + tri for x in e} | {7, 9})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in star_contraction_components(nodes, edges).collect()
+    }
+    lp = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges, max_iterations=50).collect()
+    }
+    assert star == lp
+    assert star[140] == 100 and star[3] == 1 and star[7] == 7 and star[9] == 9
+
+
+def test_star_contraction_string_ids(spark):
+    """Same orderable-id contract as connected_components."""
+    from s3_rds_bq_airflow_spark.operators.cluster import (
+        star_contraction_components,
+    )
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("z",)], ["id"])
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["id_a", "id_b"]
+    )
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in star_contraction_components(nodes, edges).collect()
+    }
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
+
 def test_swap_directory_crash_safety(tmp_path):
     """Every crash point of the rename-aside swap leaves a readable
     current-or-previous version recoverable via recover_directory."""

@@ -135,18 +135,38 @@ def test_pushdown_report_nonempty_across_catalog(q):
 
 
 def test_no_cartesian_product_anywhere(spark, sf_dir):
-    """Catalog-wide guard: NO declared query may plan a
-    CartesianProduct — every intentional cross join must broadcast its
-    one-row/small side (BroadcastNestedLoopJoin). A cartesian of two
-    distributed relations is never acceptable at scale."""
-    from s3_rds_bq_airflow_spark.plans.inspect import plan_nodes
+    """Catalog-wide guards: (a) under the default conf, NO declared
+    query may plan a CartesianProduct — every intentional cross join
+    must broadcast its one-row/small side (BroadcastNestedLoopJoin);
+    a cartesian of two distributed relations is never acceptable at
+    scale. (b) With size-based auto-broadcast DISABLED (so the only
+    BroadcastExchanges left are ones the code FORCED with a hint), no
+    fact table (the relations that grow with the corpus) may be
+    broadcast without a bounding limit / aggregate / selective filter
+    between scan and exchange — a forced whole-fact broadcast is the
+    canonical 100 TB plan killer and no size estimate will save it.
+    Auto-broadcasts at tiny SF are fine: real stats + AQE flip them
+    to shuffle joins at scale."""
+    from s3_rds_bq_airflow_spark.plans.inspect import (
+        plan_nodes,
+        unbounded_broadcast_tables,
+    )
 
+    facts = {"orders", "lineitem", "events", "documents", "embeddings"}
     offenders = []
-    for name, fn in sorted(QUERIES.items()):
-        if name.startswith("q_stream"):
-            continue  # streaming queries execute, no static plan here
-        if "CartesianProduct" in plan_nodes(fn(spark, sf_dir)):
-            offenders.append(name)
+    names = [n for n in sorted(QUERIES) if not n.startswith("q_stream")]
+    for name in names:  # streaming queries execute, no static plan here
+        if "CartesianProduct" in plan_nodes(QUERIES[name](spark, sf_dir)):
+            offenders.append(f"{name}: cartesian")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in names:
+            bad = unbounded_broadcast_tables(QUERIES[name](spark, sf_dir)) & facts
+            if bad:
+                offenders.append(f"{name}: forced unbounded fact broadcast {sorted(bad)}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert not offenders, offenders
 
 
@@ -163,14 +183,18 @@ def test_grid_nn_hot_path_is_equi_join(q):
 
 
 def test_ivf_broadcasts_centroids_not_corpus(q):
-    """IVF assignment/probe must broadcast the centroid table; the
-    corpus side must never appear in a broadcast exchange (at scale it
-    cannot). Heuristic: every BroadcastExchange in the plan feeds a
-    nested-loop or hash join whose build side is centroid/query-sized
-    — the corpus relation name never shows up inside one."""
+    """IVF assignment/probe must broadcast only BOUNDED relations:
+    corpus scans may feed a broadcast side, but only through a
+    limit/top-k/aggregate (seed selection is a LIMIT-16, centroid
+    update is a (cid,pos) aggregate) — never a full unbounded scan
+    shipped to every executor. Checked structurally on the plan tree,
+    not by node counting."""
+    from s3_rds_bq_airflow_spark.plans.inspect import unbounded_broadcast_scans
+
     df = q("q_cosine_ann_ivf")
     nodes = plan_nodes(df)
     assert not any("CartesianProduct" in n for n in nodes)
+    assert unbounded_broadcast_scans(df) == []
     # Centroid fit collects nothing to the driver; the plan stays lazy
     # until action. Sanity: the query still returns k rows.
     assert df.count() == 10
