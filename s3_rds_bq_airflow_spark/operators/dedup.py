@@ -12,7 +12,12 @@ Design for 100 TB:
   are a few hundred bytes per doc regardless of document length.
 - **SimHash**: per-token hash bit votes -> 32-bit signature -> banded
   byte join for candidates -> exact Hamming filter via bit_count.
-- All hashing is xxhash64 (deterministic, seed-stable, JVM-side).
+- All hashing is xxhash64 (deterministic, seed-stable, JVM-side) in
+  the throughput default; ``exact=True`` swaps every hash for
+  ``md5_hash60`` (the 60-bit prefix of md5), which any engine
+  computes identically — making the ENTIRE MinHash/SimHash pipeline
+  replayable as a SQL oracle (same recipe as the LSH/IVF exact
+  modes in similarity.py / ivf.py).
 
 Everything is DataFrame-composable; no Python in the row path.
 """
@@ -37,6 +42,13 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def md5_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 as
+    a long (big-endian hex fold). Slower than xxhash64 (md5 + base
+    conversion) — the verification gear, not the throughput path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -52,22 +64,26 @@ def exact_dedup(
     )
 
 
-def token_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def token_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, *, exact: bool = False
+) -> DataFrame:
     """Distinct k-token shingles per document -> (id, shingle_hash).
 
     Built with array expressions (transform/slice over the token
     array), exploded once; hashes immediately so shuffles move longs,
-    not strings.
+    not strings. ``exact=True`` hashes with the engine-portable
+    ``md5_hash60`` instead of xxhash64.
     """
     toks = F.split(F.trim(normalize_text(F.col(text_col))), " ")
     shingle_arr = F.expr(
         f"transform(sequence(1, greatest(size({'_toks'}) - {k - 1}, 1)), "
         f"i -> concat_ws(' ', slice(_toks, i, {k})))"
     )
+    h = md5_hash60(F.col("_sh")) if exact else F.xxhash64("_sh")
     return (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
         .select("_id", F.explode(F.array_distinct(shingle_arr)).alias("_sh"))
-        .select("_id", F.pmod(F.xxhash64("_sh"), F.lit(MERSENNE_31)).alias("_h"))
+        .select("_id", F.pmod(h, F.lit(MERSENNE_31)).alias("_h"))
         .distinct()
     )
 
@@ -86,20 +102,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_perm: int = 32, bands: int = 8
+    signatures: DataFrame, n_perm: int = 32, bands: int = 8, *, exact: bool = False
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs sharing >= 1 band.
 
     Rows per doc = bands; join key = (band_idx, band_hash). Returns
-    distinct (id_a < id_b) candidate pairs.
+    distinct (id_a < id_b) candidate pairs. ``exact=True`` derives
+    the band hash from the comma-joined minima via ``md5_hash60``
+    (portable) instead of xxhash64 over the columns.
     """
     rows_per_band = n_perm // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        sig = (
+            md5_hash60(F.concat_ws(",", *cols))
+            if exact
+            else F.xxhash64(*cols)
         )
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
     banded = signatures.select(
         F.col("_id"), F.explode(F.array(*band_cols)).alias("bs")
     ).select("_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
@@ -156,23 +177,33 @@ def minhash_near_dup_pairs(
     n_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    exact: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature ->
-    banded candidates -> exact-Jaccard verification."""
-    sh = token_shingles(df, text_col, id_col, k)
+    banded candidates -> exact-Jaccard verification. ``exact=True``
+    uses portable md5-derived hashes throughout, making the whole
+    pipeline SQL-oracle-checkable."""
+    sh = token_shingles(df, text_col, id_col, k, exact=exact)
     sigs = minhash_signatures(sh, n_perm)
-    cands = lsh_candidate_pairs(sigs, n_perm, bands)
+    cands = lsh_candidate_pairs(sigs, n_perm, bands, exact=exact)
     return jaccard_verify(cands, sh, threshold)
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    *,
+    exact: bool = False,
 ) -> DataFrame:
     """Per-document SimHash: token-hash bit votes -> sign -> packed
-    signature (computed as `bits` conditional sums in one agg pass)."""
+    signature (computed as `bits` conditional sums in one agg pass).
+    ``exact=True`` votes on ``md5_hash60`` bits (portable)."""
     toks = F.explode(F.split(F.trim(normalize_text(F.col(text_col))), " ")).alias("_tok")
+    h = md5_hash60(F.col("_tok")) if exact else F.xxhash64("_tok")
     hashed = df.select(F.col(id_col).alias("_id"), toks).select(
-        "_id", F.xxhash64("_tok").alias("_h")
+        "_id", h.alias("_h")
     )
     votes = [
         F.sum(
@@ -196,11 +227,12 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 6,
+    exact: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: candidates share >= 1 of ``n_bands`` byte
     bands (pigeonhole guarantee for small Hamming distances), then an
-    exact popcount(xor) filter."""
-    sigs = simhash_signatures(df, text_col, id_col, bits)
+    exact popcount(xor) filter. ``exact=True`` = portable hashes."""
+    sigs = simhash_signatures(df, text_col, id_col, bits, exact=exact)
     band_width = bits // n_bands
     bands = [
         F.struct(

@@ -79,14 +79,108 @@ def _augmented_corpus(spark, sf_dir):
     return docs.unionByName(twins)
 
 
-@query("q_dedup_minhash_lsh")
+# ---------------------------------------------------------------------------
+# Hash-checkable MinHash/SimHash: exact mode swaps xxhash64 for the
+# 60-bit md5 prefix, which DuckDB reproduces with an integer hex fold
+# (list_reduce below == Spark's conv(substr(md5,1,15),16,10)). With
+# identical hashes, signatures, bands, candidate sets, and verify
+# metrics all match bit-for-bit — the same recipe that converted the
+# hyperplane-LSH and IVF queries from rows-only to fully green.
+# ---------------------------------------------------------------------------
+from ..operators.dedup import MERSENNE_31, _perm_constants
+
+
+def _md5_60_sql(expr: str) -> str:
+    """DuckDB: first 15 hex chars of md5(expr) folded to a 60-bit
+    BIGINT — exact integer arithmetic, matches Spark's conv()."""
+    return (
+        f"list_reduce(list_transform(range(1,16), j -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), CAST(j AS INT), 1)) - 1 "
+        f"AS BIGINT)), (acc, x) -> acc * 16 + x)"
+    )
+
+
+_PERM_VALUES = ",\n        ".join(
+    f"({i},{a},{b})" for i, (a, b) in enumerate(_perm_constants(32))
+)
+
+_AUGMENTED_SQL = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz mutated suffix token'
+    FROM documents WHERE doc_id % 17 = 0
+)"""
+
+_ORACLE_MINHASH = f"""
+WITH {_AUGMENTED_SQL},
+toks AS (
+    SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM corpus
+),
+shingle_strs AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(tk) - 2, 1) + 1),
+        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS sh
+    FROM toks
+),
+shingles AS (
+    SELECT DISTINCT doc_id, {_md5_60_sql("sh")} % {MERSENNE_31} AS h
+    FROM shingle_strs
+),
+perms(pid, a, b) AS (VALUES
+        {_PERM_VALUES}),
+mins AS (
+    SELECT s.doc_id, p.pid, MIN((p.a * s.h + p.b) % {MERSENNE_31}) AS mh
+    FROM shingles s CROSS JOIN perms p
+    GROUP BY s.doc_id, p.pid
+),
+band_strs AS (
+    SELECT doc_id, pid // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pid) AS bstr
+    FROM mins GROUP BY doc_id, pid // 4
+),
+bands AS (
+    SELECT doc_id, band, {_md5_60_sql("bstr")} AS sig FROM band_strs
+),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS ni
+    FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+    GROUP BY c.id_a, c.id_b
+),
+j AS (
+    SELECT i.id_a, i.id_b, CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
+    FROM inter i
+      JOIN sizes na ON na.doc_id = i.id_a
+      JOIN sizes nb ON nb.doc_id = i.id_b
+)
+SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard_r4,
+       CAST(id_b - id_a = 1000000 AS BIGINT) AS is_planted_twin
+FROM j WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_minhash_lsh", oracle=_ORACLE_MINHASH)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup detection (shingle -> 32-perm signature ->
     8-band bucket join -> exact-Jaccard verify >= 0.5) on the planted
-    corpus. No SQL oracle (hash-permutation internals); deterministic
-    rows-only: recovered pairs are exactly (id, id+1e6) twins."""
+    corpus, declared in exact mode: md5-derived 60-bit hashes are
+    engine-portable, so shingle hashes, permutation minima, band
+    buckets, the candidate set, and the verified Jaccard all replay
+    in a DuckDB oracle (no more rows-only). The xxhash64 path is the
+    same operator in throughput gear (``exact=False``); recovered
+    pairs are exactly the (id, id+1e6) twins either way."""
     pairs = minhash_near_dup_pairs(
-        _augmented_corpus(spark, sf_dir), threshold=0.5
+        _augmented_corpus(spark, sf_dir), threshold=0.5, exact=True
     )
     return pairs.select(
         "id_a",
@@ -96,11 +190,50 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@query("q_dedup_simhash")
+_ORACLE_SIMHASH = f"""
+WITH {_AUGMENTED_SQL},
+tokh AS (
+    SELECT doc_id, {_md5_60_sql("tok")} AS h
+    FROM (SELECT doc_id, unnest(string_split({NORMALIZE_SQL}, ' ')) AS tok
+          FROM corpus) t
+),
+votes AS (
+    SELECT doc_id, b.bit,
+           SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+    FROM tokh CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+    GROUP BY doc_id, b.bit
+),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+    FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) b
+),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, bit_count(xor(a.simhash, b.simhash))
+)
+SELECT id_a, id_b, hamming,
+       CAST(id_b - id_a = 1000000 AS BIGINT) AS is_planted_twin
+FROM cand WHERE hamming <= 6
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_simhash", oracle=_ORACLE_SIMHASH)
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup (32-bit token-vote signature, 4-band candidate
-    join, Hamming <= 6) on the planted corpus. Rows-only check."""
-    pairs = simhash_near_dup_pairs(_augmented_corpus(spark, sf_dir))
+    join, Hamming <= 6) on the planted corpus, declared in exact mode:
+    portable md5-derived token hashes make the bit votes, packed
+    signatures, band buckets, and Hamming distances identical in any
+    engine — checked against a DuckDB oracle (was rows-only)."""
+    pairs = simhash_near_dup_pairs(_augmented_corpus(spark, sf_dir), exact=True)
     return pairs.select(
         "id_a",
         "id_b",

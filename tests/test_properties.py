@@ -192,3 +192,65 @@ def test_jsonschema_translation_total_and_stable(prop):
     emitted = property_for_spark_type(t1)
     t2 = spark_type_for_property(emitted)
     assert t2 == spark_type_for_property(property_for_spark_type(t2))
+
+
+_int_types = st.sampled_from(["byte", "short", "int", "long"])
+_num_types = st.sampled_from(["byte", "short", "int", "long", "float", "double"])
+_dec_types = st.builds(
+    lambda p, s: ("decimal", p, min(s, p)),
+    st.integers(min_value=1, max_value=38),
+    st.integers(min_value=0, max_value=10),
+)
+
+
+def _mk_type(spec):
+    from pyspark.sql import types as T
+
+    if isinstance(spec, tuple):
+        return T.DecimalType(spec[1], spec[2])
+    return {
+        "byte": T.ByteType(),
+        "short": T.ShortType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+    }[spec]
+
+
+_INT_MAX = {
+    "ByteType": 127,
+    "ShortType": 32767,
+    "IntegerType": 2**31 - 1,
+    "LongType": 2**63 - 1,
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=st.one_of(_num_types, _dec_types), b=st.one_of(_num_types, _dec_types))
+def test_widening_is_symmetric_and_lossless_for_integers(a, b):
+    """Schema-drift widening law: the widened type of {a, b} is
+    order-independent, and whenever both sides are integer-or-decimal
+    the result can represent the LARGEST value of any integer side —
+    the silent-NULL overflow class (decimal(5,0) x long) can't exist."""
+    from pyspark.sql import types as T
+
+    from s3_rds_bq_airflow_spark.ingest.evolve import _widen
+
+    ta, tb = _mk_type(a), _mk_type(b)
+    w_ab = _widen(ta, tb, coerce_to_string=False)
+    w_ba = _widen(tb, ta, coerce_to_string=False)
+    assert w_ab == w_ba
+    for side in (ta, tb):
+        name = type(side).__name__
+        if name not in _INT_MAX:
+            continue
+        top = _INT_MAX[name]
+        if isinstance(w_ab, T.DecimalType):
+            assert w_ab.precision - w_ab.scale >= len(str(top)), (
+                f"{side} widened to {w_ab} cannot hold {top}"
+            )
+        elif isinstance(w_ab, (T.FloatType, T.DoubleType)):
+            pass  # float widening is documented lossy-precision, never NULL
+        else:
+            assert _INT_MAX[type(w_ab).__name__] >= top
