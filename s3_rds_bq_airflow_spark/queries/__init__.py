@@ -37,8 +37,17 @@ from . import trainprep  # noqa: E402,F401
 # budget. Two tiers:
 #   1. (default order) the 47 queries with NO driver row after rounds
 #      1-3 — they fit the ~50 cap and must ALL surface this round;
-#   2. _DRIVER_CHECKED: every query with a driver row in
+#   2. _NEW_R4_EXTRAS: added late in round 4 AFTER the tier-1 budget
+#      was full (49 entries) — explicitly demoted so they cannot
+#      displace a backlog query from the ~50-row cap; they have local
+#      oracle-parity evidence and surface to the driver next round;
+#   3. _DRIVER_CHECKED: every query with a driver row in
 #      CORRECTNESS_r01 ∪ r02 ∪ r03 (green or rows-only) — last.
+_NEW_R4_EXTRAS = (
+    "q_ngram_topk_global",
+    "q_curriculum_buckets",
+)
+
 _DRIVER_CHECKED = (
     "q_math_funcs",
     "q_jsonschema_silver",
@@ -139,6 +148,6 @@ _DRIVER_CHECKED = (
     "q_ngram_jaccard",
     "q_cosine_topk_exact",
 )
-deprioritize(_DRIVER_CHECKED)
+deprioritize(_NEW_R4_EXTRAS + _DRIVER_CHECKED)
 
 __all__ = ["all_queries", "all_oracles", "query"]

@@ -217,3 +217,225 @@ def q_fingerprint(spark, sf_dir):
         F.substring(fp, 1, 16).alias("fp64"),
         F.length(norm).alias("norm_len"),
     )
+
+
+@query(
+    "q_gopher_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {NORMALIZE_SQL} AS norm,
+               string_split({NORMALIZE_SQL}, ' ') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, norm, CAST(len(tk) AS BIGINT) AS n_tokens,
+               list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                              i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS g2,
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS g3
+        FROM toks
+    ),
+    m AS (
+        SELECT doc_id, n_tokens,
+               CAST(LENGTH(REPLACE(norm, ' ', '')) AS DOUBLE) / n_tokens AS mean_word_len,
+               1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup2,
+               1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup3,
+               CAST(list_max(list_transform(list_distinct(g2),
+                     x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2) AS top2
+        FROM g
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(mean_word_len, 6) AS mean_word_len_r6,
+           ROUND(dup2, 6) AS dup_2gram_frac_r6,
+           ROUND(dup3, 6) AS dup_3gram_frac_r6,
+           ROUND(top2, 6) AS top_2gram_frac_r6,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len'
+                WHEN dup2 > 0.04 THEN 'dup_2gram'
+                WHEN dup3 > 0.02 THEN 'dup_3gram'
+                WHEN top2 > 0.06 THEN 'top_2gram'
+                ELSE 'ok' END AS reject_reason,
+           CAST(n_tokens >= 20 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND dup2 <= 0.04 AND dup3 <= 0.02 AND top2 <= 0.06 AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style document quality gate (published repetition
+    heuristics: word-count bounds, mean word length, duplicate
+    2/3-gram fractions, top-2-gram mass) as PURE per-row array
+    expressions — size/array_distinct/filter over the token array, no
+    explode, no shuffle: the filter runs at scan speed at any corpus
+    size. All metrics are ratios of exact per-row integers, so the
+    doubles (and the keep/reject decision) are bit-identical in any
+    engine; thresholds sit inside this corpus's metric spread so both
+    branches of every rule are exercised."""
+    norm = normalized_text()
+
+    def grams(n):
+        return F.expr(
+            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+        )
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", norm.alias("_norm"), F.split(norm, " ").alias("_toks")
+    )
+    g = base.select(
+        "doc_id",
+        "_norm",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        grams(2).alias("_g2"),
+        grams(3).alias("_g3"),
+    )
+    mean_wl = (
+        F.length(F.replace(F.col("_norm"), F.lit(" "), F.lit(""))).cast("double")
+        / F.col("n_tokens")
+    )
+    dup2 = 1.0 - F.size(F.array_distinct("_g2")).cast("double") / F.size("_g2")
+    dup3 = 1.0 - F.size(F.array_distinct("_g3")).cast("double") / F.size("_g3")
+    top2 = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("_g2"),
+                lambda x: F.size(F.filter(F.col("_g2"), lambda y: y == x)),
+            )
+        ).cast("double")
+        / F.size("_g2")
+    )
+    m = g.select(
+        "doc_id",
+        "n_tokens",
+        mean_wl.alias("_mwl"),
+        dup2.alias("_d2"),
+        dup3.alias("_d3"),
+        top2.alias("_t2"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("_mwl") >= 3.0)
+        & (F.col("_mwl") <= 10.0)
+        & (F.col("_d2") <= 0.04)
+        & (F.col("_d3") <= 0.02)
+        & (F.col("_t2") <= 0.06)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when((F.col("_mwl") < 3.0) | (F.col("_mwl") > 10.0), "word_len")
+        .when(F.col("_d2") > 0.04, "dup_2gram")
+        .when(F.col("_d3") > 0.02, "dup_3gram")
+        .when(F.col("_t2") > 0.06, "top_2gram")
+        .otherwise("ok")
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_mwl", 6).alias("mean_word_len_r6"),
+        F.round("_d2", 6).alias("dup_2gram_frac_r6"),
+        F.round("_d3", 6).alias("dup_3gram_frac_r6"),
+        F.round("_t2", 6).alias("top_2gram_frac_r6"),
+        reason.alias("reject_reason"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+@query(
+    "q_ngram_topk_global",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+        FROM toks
+    ),
+    counts AS (
+        SELECT g AS ngram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY g
+    )
+    SELECT ngram, n, n_docs
+    FROM counts
+    ORDER BY n DESC, ngram
+    LIMIT 25
+    """,
+)
+def q_ngram_topk_global(spark, sf_dir):
+    """Corpus-wide 3-gram frequency top-k (the n-gram statistics pass
+    of corpus analysis — vocabulary/boilerplate discovery). One
+    partial-aggregated shuffle of (ngram-string, count) pairs + a
+    TakeOrdered top-k: map-side combine bounds the shuffle by distinct
+    n-grams per partition, never row count; the same shape as
+    q_token_topk one level up."""
+    norm = normalized_text()
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(_toks) - 2, 1)), "
+        "i -> concat_ws(' ', slice(_toks, i, 3)))"
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(norm, " ").alias("_toks"))
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(25)
+    )
+
+
+@query(
+    "q_curriculum_buckets",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+               LENGTH(text) AS n,
+               CASE WHEN CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS VARCHAR)
+                         IN ('0','1','2') THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, split,
+               NTILE(5) OVER (ORDER BY CAST(n_alpha AS DOUBLE) / n, doc_id) AS difficulty_bin
+        FROM scored
+    )
+    SELECT split, difficulty_bin,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM binned
+    GROUP BY split, difficulty_bin
+    """,
+)
+def q_curriculum_buckets(spark, sf_dir):
+    """Curriculum construction: rank documents by a quality proxy
+    (alpha ratio), cut into 5 difficulty bins (NTILE with doc_id
+    tie-break for determinism), and split train/eval by a
+    deterministic md5 prefix on the id (hex chars 0-2 = 3/16 eval) —
+    the reproducible-everywhere alternative to rand() splits, same
+    rationale as `operators/mixing`. Per-(split, bin) manifest out."""
+    n = F.length(F.col("text"))
+    n_alpha = n - F.length(F.regexp_replace(F.col("text"), "[a-zA-Z]", ""))
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2"),
+        "eval",
+    ).otherwise("train")
+    from pyspark.sql import Window as W
+
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        split.alias("split"),
+        (n_alpha.cast("double") / n).alias("_q"),
+    )
+    binned = scored.withColumn(
+        "difficulty_bin", F.ntile(5).over(W.orderBy(F.col("_q"), F.col("doc_id")))
+    )
+    return binned.groupBy("split", "difficulty_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
