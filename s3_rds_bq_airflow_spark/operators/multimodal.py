@@ -5,88 +5,21 @@ stages over ``mapInPandas``.
 Design (per the build spec): image/audio/video payloads are
 ``binary`` columns; metadata (mime, dimensions, duration) are typed
 columns alongside. Decode and feature extraction run in vectorized
-pandas batches — the Spark-side plumbing (schema, partitioning, batch
-shape) is real and tested; the actual codec call is STUBBED because
-image/audio libraries are not in this environment. The stub is
-deterministic (byte-level statistics standing in for pixels) so
-pipelines are testable end-to-end.
+pandas batches. The decoders are REAL for the two containers
+parseable with struct/numpy alone (24-bit BMP, 16-bit PCM WAV);
+other codecs (JPEG/MP4/...) would slot into the same
+``_feature_runner`` dead-letter harness once their libraries are
+available — the Spark-side plumbing (schema, partitioning, batch
+shape, error rows) is identical and fully tested.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
-
-#: Schema a real image-decode stage would produce per payload.
-MEDIA_FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("content_sha256", T.StringType()),
-        T.StructField("decode_status", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.DoubleType())),
-    ]
-)
-
-FEATURE_DIM = 8
-
-
-def _decode_media(payload: bytes) -> list[float]:
-    """STUB decode/feature-extract.
-
-    A real implementation would decode the payload (PIL/ffmpeg/...)
-    and emit model features; those libraries are not available here.
-    This stand-in derives a deterministic ``FEATURE_DIM``-dim vector
-    from byte statistics so the distributed plumbing is fully
-    exercisable. Swap the body for the real codec in production.
-    """
-    if not payload:
-        raise NotImplementedError("empty payload: nothing to decode")
-    buckets = [0] * FEATURE_DIM
-    for i, b in enumerate(payload):
-        buckets[i % FEATURE_DIM] += b
-    n = len(payload)
-    return [round(x / n, 6) for x in buckets]
-
-
-def extract_media_features(
-    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
-) -> DataFrame:
-    """Arrow-batched feature extraction over a binary column.
-
-    ``mapInPandas``: each partition streams pandas batches through the
-    (stubbed) decoder — the production shape for CPU-bound per-item
-    decode work. Failures don't poison the batch; they surface as
-    ``decode_status = 'error:...'`` rows (dead-letter pattern).
-    """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [],
-                "n_bytes": [],
-                "content_sha256": [],
-                "decode_status": [],
-                "feature": [],
-            }
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload) if payload is not None else b""
-                out["doc_id"].append(doc_id)
-                out["n_bytes"].append(len(raw))
-                out["content_sha256"].append(hashlib.sha256(raw).hexdigest())
-                try:
-                    out["feature"].append(_decode_media(raw))
-                    out["decode_status"].append("ok")
-                except NotImplementedError as e:
-                    out["feature"].append(None)
-                    out["decode_status"].append(f"error:{e}")
-            yield pd.DataFrame(out)
-
-    return df.select(id_col, payload_col).mapInPandas(run, MEDIA_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(
