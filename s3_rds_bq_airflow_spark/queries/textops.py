@@ -400,7 +400,8 @@ def q_ngram_topk_global(spark, sf_dir):
     ),
     binned AS (
         SELECT doc_id, split,
-               NTILE(5) OVER (ORDER BY CAST(n_alpha AS DOUBLE) / n, doc_id) AS difficulty_bin
+               NTILE(5) OVER (PARTITION BY split
+                              ORDER BY CAST(n_alpha AS DOUBLE) / n, doc_id) AS difficulty_bin
         FROM scored
     )
     SELECT split, difficulty_bin,
@@ -413,11 +414,17 @@ def q_ngram_topk_global(spark, sf_dir):
 )
 def q_curriculum_buckets(spark, sf_dir):
     """Curriculum construction: rank documents by a quality proxy
-    (alpha ratio), cut into 5 difficulty bins (NTILE with doc_id
-    tie-break for determinism), and split train/eval by a
+    (alpha ratio), cut into 5 difficulty bins per split (NTILE with
+    doc_id tie-break for determinism), and split train/eval by a
     deterministic md5 prefix on the id (hex chars 0-2 = 3/16 eval) —
     the reproducible-everywhere alternative to rand() splits, same
-    rationale as `operators/mixing`. Per-(split, bin) manifest out."""
+    rationale as `operators/mixing`. Per-(split, bin) manifest out.
+
+    Scale note: NTILE is a per-split total order (a ranking sort); at
+    100 TB swap it for range-bucketing on pre-computed
+    approx_percentile boundaries — one aggregate + a per-row CASE,
+    no sort — at the cost of approximate bin edges. The exact NTILE
+    form is the verification gear the oracle can replay."""
     n = F.length(F.col("text"))
     n_alpha = n - F.length(F.regexp_replace(F.col("text"), "[a-zA-Z]", ""))
     split = F.when(
@@ -432,7 +439,8 @@ def q_curriculum_buckets(spark, sf_dir):
         (n_alpha.cast("double") / n).alias("_q"),
     )
     binned = scored.withColumn(
-        "difficulty_bin", F.ntile(5).over(W.orderBy(F.col("_q"), F.col("doc_id")))
+        "difficulty_bin",
+        F.ntile(5).over(W.partitionBy("split").orderBy(F.col("_q"), F.col("doc_id"))),
     )
     return binned.groupBy("split", "difficulty_bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
