@@ -67,10 +67,16 @@ def _widen(a: T.DataType, b: T.DataType, *, coerce_to_string: bool) -> T.DataTyp
     if ra is not None and rb is not None:
         return _RANK_TYPE[max(ra, rb)]()
     if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
-        # max integer digits + max scale holds every value of either
+        # max integer digits + max scale holds every value of either.
+        # At the precision-38 cap, SCALE gives way, never integer
+        # digits: losing fractional digits rounds (visible, bounded),
+        # losing integer digits would silently NULL overflowing
+        # values — the exact failure class this widening exists to
+        # prevent.
         scale = max(a.scale, b.scale)
         intd = max(a.precision - a.scale, b.precision - b.scale)
-        return T.DecimalType(min(38, intd + scale), scale)
+        scale = min(scale, 38 - intd)
+        return T.DecimalType(intd + scale, scale)
     if isinstance(a, T.DecimalType) and rb is not None:
         return _widen_dec_int(a, rb) if rb <= 4 else T.DoubleType()
     if isinstance(b, T.DecimalType) and ra is not None:

@@ -49,6 +49,20 @@ def md5_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def ngram_array(toks_col: str, k: int) -> Column:
+    """k-token shingles over a token-array column, space-joined.
+
+    The ``greatest(size - k + 1, 1)`` clamp makes a document shorter
+    than ``k`` tokens yield ONE short shingle instead of none — the
+    single subtle spot, shared here so the MinHash shingler and the
+    textops n-gram queries can't drift apart (their DuckDB oracles
+    mirror the same clamp)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {k})))"
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -75,10 +89,7 @@ def token_shingles(
     ``md5_hash60`` instead of xxhash64.
     """
     toks = F.split(F.trim(normalize_text(F.col(text_col))), " ")
-    shingle_arr = F.expr(
-        f"transform(sequence(1, greatest(size({'_toks'}) - {k - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(_toks, i, {k})))"
-    )
+    shingle_arr = ngram_array("_toks", k)
     h = md5_hash60(F.col("_sh")) if exact else F.xxhash64("_sh")
     return (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))

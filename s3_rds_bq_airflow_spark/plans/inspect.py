@@ -90,27 +90,73 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
-def plan_tree(df: DataFrame) -> list[tuple[int, str, int, int | None]]:
-    """Parse the formatted plan's tree section into
-    ``(id, name, depth, parent_id)`` rows. Depth derives from the
-    3-char indent unit of explain-formatted trees, so subtree
-    membership (e.g. "what sits under this BroadcastExchange") is
-    checkable — node LISTS can't answer that."""
-    text = formatted_plan(df).split("\n\n")[0]
+# Tree line: indent prefix (":  ", "+- ", "|  ", and the "* "
+# whole-stage-codegen marker) + node name + "(id)". Names never
+# contain ':' or '(' — that excludes detail-section lines
+# ("Output [2]: ...", "(4) Filter [codegen id : 3]") and subquery
+# headers, so the same scan can walk ALL plan sections (main tree AND
+# "===== Subqueries =====" trees — a broadcast hidden in a subquery
+# must not be invisible to the guards below).
+_TREE_LINE = re.compile(r"^([ :+*|-]*?)([A-Za-z][^(:]*)\((\d+)\)\s*$")
+
+
+def _tree_from_text(text: str) -> list[tuple[int, str, int, int | None]]:
     rows: list[tuple[int, str, int, int | None]] = []
     stack: list[tuple[int, int]] = []  # (depth, id)
     for line in text.splitlines():
-        m = re.match(r"^([ :+|-]*?)([A-Za-z][^(]*)\((\d+)\)\s*$", line)
+        m = _TREE_LINE.match(line)
         if not m:
             continue
         prefix, name, nid = m.group(1), m.group(2).strip(), int(m.group(3))
+        # 3-char indent unit; an optional trailing "* " marker adds 2,
+        # which // 3 absorbs. A depth-0 line starts a new tree.
         depth = len(prefix) // 3
+        if depth == 0:
+            stack.clear()
         while stack and stack[-1][0] >= depth:
             stack.pop()
         parent = stack[-1][1] if stack else None
         rows.append((nid, name, depth, parent))
         stack.append((depth, nid))
     return rows
+
+
+def _filter_conditions(text: str) -> dict[int, str]:
+    """node id -> Condition expression, for Filter detail blocks."""
+    conds: dict[int, str] = {}
+    cur_id: int | None = None
+    cur_is_filter = False
+    for line in text.splitlines():
+        m = re.match(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9 ]*)", line)
+        if m:
+            cur_id = int(m.group(1))
+            cur_is_filter = m.group(2).strip() == "Filter"
+            continue
+        if cur_is_filter and cur_id is not None:
+            m2 = re.match(r"^Condition\s*:\s*(.+)$", line)
+            if m2:
+                conds[cur_id] = m2.group(1).strip()
+    return conds
+
+
+def _is_selective_condition(cond: str) -> bool:
+    """True iff the condition filters on something beyond the
+    isnotnull(...) guards Spark auto-inserts above every equi-join
+    input. An isnotnull-only Filter rejects ~no rows — treating it as
+    bounding would absolve exactly the bare whole-relation broadcast
+    the guard exists to catch."""
+    residue = re.sub(r"isnotnull\([^()]*\)", "", cond)
+    residue = re.sub(r"\bAND\b|\bOR\b|\bNOT\b|[()\s]", " ", residue)
+    return bool(residue.strip())
+
+
+def plan_tree(df: DataFrame) -> list[tuple[int, str, int, int | None]]:
+    """Parse the formatted plan (ALL sections, subqueries included)
+    into ``(id, name, depth, parent_id)`` rows. Depth derives from the
+    3-char indent unit of explain-formatted trees, so subtree
+    membership (e.g. "what sits under this BroadcastExchange") is
+    checkable — node LISTS can't answer that."""
+    return _tree_from_text(formatted_plan(df))
 
 
 _BOUNDING_OPS = (
@@ -120,37 +166,45 @@ _BOUNDING_OPS = (
     "HashAggregate",
     "ObjectHashAggregate",
     "SortAggregate",
-    # A Filter is "bounding" in the weaker selective sense: the
-    # broadcast of a point-filtered scan (query vector, small dim
-    # slice) is the standard pattern. What this list must NEVER
-    # absolve is a bare unfiltered scan shipped whole.
-    "Filter",
 )
 
 
 def unbounded_broadcast_scans(df: DataFrame) -> list[int]:
     """Scan node ids that sit inside a BroadcastExchange subtree with
-    NO bounding operator (limit / top-k / aggregate / selective
-    filter) between the scan and the exchange — i.e. a full relation
-    shipped verbatim to every executor. Empty list = no broadcast
-    side re-materializes an entire input relation, the property that
-    keeps the plan valid at 100 TB."""
-    tree = plan_tree(df)
+    NO bounding operator between the scan and the exchange — i.e. a
+    full relation shipped verbatim to every executor. Bounding =
+    limit / top-k / aggregate, or a Filter whose condition holds a
+    REAL predicate (the broadcast of a point-filtered scan is the
+    standard small-slice pattern; Spark's auto-inserted
+    isnotnull-only join-key filters do NOT count). Empty list = no
+    broadcast side re-materializes an entire input relation, the
+    property that keeps the plan valid at 100 TB."""
+    text = formatted_plan(df)
+    tree = _tree_from_text(text)
+    conds = _filter_conditions(text)
     by_id = {nid: (name, parent) for nid, name, _, parent in tree}
+
+    def bounds(node_id: int, node_name: str) -> bool:
+        if node_name.startswith(_BOUNDING_OPS):
+            return True
+        if node_name.startswith("Filter"):
+            return _is_selective_condition(conds.get(node_id, ""))
+        return False
+
     offenders = []
     for nid, name, _, _ in tree:
         if not name.startswith("Scan"):
             continue
         # walk ancestors up to the nearest BroadcastExchange (if any)
-        path: list[str] = []
+        bounded = False
         cur = by_id[nid][1]
         while cur is not None:
             pname = by_id[cur][0]
             if pname.startswith("BroadcastExchange"):
-                if not any(p.startswith(_BOUNDING_OPS) for p in path):
+                if not bounded:
                     offenders.append(nid)
                 break
-            path.append(pname)
+            bounded = bounded or bounds(cur, pname)
             cur = by_id[cur][1]
     return offenders
 

@@ -34,9 +34,11 @@ from . import trainprep  # noqa: E402,F401
 
 # The driver verifies in iteration order and caps its batch at ~50
 # entries per round, so enumeration order is a verification-evidence
-# budget. Two tiers:
-#   1. (default order) the 47 queries with NO driver row after rounds
-#      1-3 — they fit the ~50 cap and must ALL surface this round;
+# budget. Three tiers:
+#   1. (default order) the queries with NO driver row after rounds
+#      1-3 (47 carried over + q_dedup_clusters_star and
+#      q_gopher_repetition added this round = 49 entries) — they fit
+#      the ~50 cap and must ALL surface this round;
 #   2. _NEW_R4_EXTRAS: added late in round 4 AFTER the tier-1 budget
 #      was full (49 entries) — explicitly demoted so they cannot
 #      displace a backlog query from the ~50-row cap; they have local

@@ -18,9 +18,11 @@ from ._util import t
 from .textops import NORMALIZE_SQL
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
+# Shared by q_dedup_clusters and q_dedup_clusters_star: both solve
+# the SAME planted path graph and must hash-match the SAME oracle —
+# one corpus/edge builder keeps the "two algorithms, one answer"
+# equivalence honest.
+_PLANTED_ORACLE = f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -32,50 +34,46 @@ from .textops import NORMALIZE_SQL
            MIN(doc_id) OVER (PARTITION BY MD5({NORMALIZE_SQL})) AS cluster_id,
            COUNT(*)    OVER (PARTITION BY MD5({NORMALIZE_SQL})) AS cluster_size
     FROM corpus
-    """,
-)
-def q_dedup_clusters(spark, sf_dir):
-    """Iterative min-label connected components over a path-shaped
-    duplicate graph; result must equal the declarative content-group
-    clustering (proving 2-hop transitive closure actually happened)."""
+    """
+
+
+def _planted_path_graph(spark, sf_dir):
+    """documents + two identical twins per seed, edges linking only
+    ADJACENT ids within each content group (a path, never the closure
+    edge) — clusters are recoverable only by transitive closure.
+    Returns (nodes, edges)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     seeds = docs.where(F.col("doc_id") % 17 == 0)
     corpus = docs.unionByName(
         seeds.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     ).unionByName(seeds.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
     fp = corpus.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_fp"))
-    # path edges: adjacent ids within each content group
     w = W.partitionBy("content_fp").orderBy("doc_id")
     edges = (
         fp.withColumn("prev_id", F.lag("doc_id").over(w))
         .where(F.col("prev_id").isNotNull())
         .select(F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    nodes = fp.select(F.col("doc_id").alias("id"))
-    labels = connected_components(nodes, edges)
+    return fp.select(F.col("doc_id").alias("id")), edges
+
+
+def _with_sizes(labels):
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "cluster_id")
-        .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+    return labels.join(sizes, "cluster_id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
     )
 
 
-@query(
-    "q_dedup_clusters_star",
-    oracle=f"""
-    WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
-        UNION ALL
-        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 17 = 0
-    )
-    SELECT doc_id,
-           MIN(doc_id) OVER (PARTITION BY MD5({NORMALIZE_SQL})) AS cluster_id,
-           COUNT(*)    OVER (PARTITION BY MD5({NORMALIZE_SQL})) AS cluster_size
-    FROM corpus
-    """,
-)
+@query("q_dedup_clusters", oracle=_PLANTED_ORACLE)
+def q_dedup_clusters(spark, sf_dir):
+    """Iterative min-label connected components over a path-shaped
+    duplicate graph; result must equal the declarative content-group
+    clustering (proving 2-hop transitive closure actually happened)."""
+    nodes, edges = _planted_path_graph(spark, sf_dir)
+    return _with_sizes(connected_components(nodes, edges))
+
+
+@query("q_dedup_clusters_star", oracle=_PLANTED_ORACLE)
 def q_dedup_clusters_star(spark, sf_dir):
     """Same planted path-graph clustering as q_dedup_clusters, solved
     by large-star/small-star contraction
@@ -86,25 +84,8 @@ def q_dedup_clusters_star(spark, sf_dir):
     produce the same transitive closure."""
     from ..operators.cluster import star_contraction_components
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    seeds = docs.where(F.col("doc_id") % 17 == 0)
-    corpus = docs.unionByName(
-        seeds.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    ).unionByName(seeds.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
-    fp = corpus.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_fp"))
-    w = W.partitionBy("content_fp").orderBy("doc_id")
-    edges = (
-        fp.withColumn("prev_id", F.lag("doc_id").over(w))
-        .where(F.col("prev_id").isNotNull())
-        .select(F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    nodes = fp.select(F.col("doc_id").alias("id"))
-    labels = star_contraction_components(nodes, edges)
-    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "cluster_id")
-        .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
-    )
+    nodes, edges = _planted_path_graph(spark, sf_dir)
+    return _with_sizes(star_contraction_components(nodes, edges))
 
 
 @query(

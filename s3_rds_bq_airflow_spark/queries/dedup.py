@@ -19,7 +19,7 @@ from ..operators.dedup import (
 )
 from .registry import query
 from ._util import t
-from .textops import NORMALIZE_SQL
+from .textops import NORMALIZE_SQL, ngram_list_sql
 
 
 @query(
@@ -118,9 +118,7 @@ toks AS (
     SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM corpus
 ),
 shingle_strs AS (
-    SELECT doc_id, unnest(list_distinct(list_transform(
-        range(1, greatest(len(tk) - 2, 1) + 1),
-        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS sh
+    SELECT doc_id, unnest(list_distinct({ngram_list_sql("tk", 3)})) AS sh
     FROM toks
 ),
 shingles AS (

@@ -84,6 +84,7 @@ def q_token_stats(spark, sf_dir):
     WITH m AS (
         SELECT doc_id, text,
                LENGTH(text) AS n,
+               GREATEST(LENGTH(text), 1) AS nd,
                LENGTH(text) - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
                LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
                LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space,
@@ -92,13 +93,13 @@ def q_token_stats(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id,
-           CAST(n_alpha AS DOUBLE) / n AS alpha_ratio,
-           CAST(n_digit AS DOUBLE) / n AS digit_ratio,
-           CAST(n_space AS DOUBLE) / n AS space_ratio,
-           CAST(n_punct AS DOUBLE) / n AS punct_ratio,
-           CAST(n_alpha AS DOUBLE) / n
-             - CAST(n_punct AS DOUBLE) / n
-             - CAST(n_digit AS DOUBLE) / n AS quality_score,
+           CAST(n_alpha AS DOUBLE) / nd AS alpha_ratio,
+           CAST(n_digit AS DOUBLE) / nd AS digit_ratio,
+           CAST(n_space AS DOUBLE) / nd AS space_ratio,
+           CAST(n_punct AS DOUBLE) / nd AS punct_ratio,
+           CAST(n_alpha AS DOUBLE) / nd
+             - CAST(n_punct AS DOUBLE) / nd
+             - CAST(n_digit AS DOUBLE) / nd AS quality_score,
            CAST(CAST(n AS DOUBLE) / n_tokens >= 3.0 AS BIGINT) AS len_ok
     FROM m
     """,
@@ -108,6 +109,9 @@ def q_text_quality(spark, sf_dir):
     the standard cheap pre-filter for LLM training corpora."""
     text = F.col("text")
     n = F.length(text)
+    # denominator floor: an empty doc scores 0.0 ratios — 0/0 is NULL
+    # in Spark but NaN in DuckDB (engine-divergent)
+    nd = F.greatest(n, F.lit(1))
 
     def n_class(pattern: str):
         return n - F.length(F.regexp_replace(text, pattern, ""))
@@ -117,14 +121,14 @@ def q_text_quality(spark, sf_dir):
     n_space = n - F.length(F.replace(text, F.lit(" "), F.lit("")))
     n_punct = n_class("[.,;:!?]")
     n_tokens = F.size(F.split(F.trim(text), r"\s+"))
-    alpha_ratio = n_alpha.cast("double") / n
-    digit_ratio = n_digit.cast("double") / n
-    punct_ratio = n_punct.cast("double") / n
+    alpha_ratio = n_alpha.cast("double") / nd
+    digit_ratio = n_digit.cast("double") / nd
+    punct_ratio = n_punct.cast("double") / nd
     return t(spark, sf_dir, "documents").select(
         "doc_id",
         alpha_ratio.alias("alpha_ratio"),
         digit_ratio.alias("digit_ratio"),
-        (n_space.cast("double") / n).alias("space_ratio"),
+        (n_space.cast("double") / nd).alias("space_ratio"),
         punct_ratio.alias("punct_ratio"),
         (alpha_ratio - punct_ratio - digit_ratio).alias("quality_score"),
         (n.cast("double") / n_tokens >= 3.0).cast("long").alias("len_ok"),
@@ -191,6 +195,17 @@ def q_lang_id(spark, sf_dir):
 NORMALIZE_SQL = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
 
 
+def ngram_list_sql(tk: str, k: int) -> str:
+    """DuckDB mirror of ``operators/dedup.ngram_array`` — identical
+    short-document clamp (a doc under ``k`` tokens yields ONE short
+    shingle), shared by every n-gram oracle so the two sides can't
+    drift."""
+    return (
+        f"list_transform(range(1, greatest(len({tk}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({tk}, i, i + {k - 1}), ' '))"
+    )
+
+
 def normalized_text():
     """lower + collapse whitespace + trim — the canonical content key."""
     return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
@@ -229,10 +244,8 @@ def q_fingerprint(spark, sf_dir):
     ),
     g AS (
         SELECT doc_id, norm, CAST(len(tk) AS BIGINT) AS n_tokens,
-               list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
-                              i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS g2,
-               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-                              i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS g3
+               {ngram_list_sql("tk", 2)} AS g2,
+               {ngram_list_sql("tk", 3)} AS g3
         FROM toks
     ),
     m AS (
@@ -268,16 +281,14 @@ def q_gopher_repetition(spark, sf_dir):
     explode, no shuffle: the filter runs at scan speed at any corpus
     size. All metrics are ratios of exact per-row integers, so the
     doubles (and the keep/reject decision) are bit-identical in any
-    engine; thresholds sit inside this corpus's metric spread so both
-    branches of every rule are exercised."""
+    engine. On the synthetic corpus three of the five rules reject
+    (too_short / dup_2gram / top_2gram); the word_len and dup_3gram
+    reject paths are pinned on crafted documents in
+    tests/test_gopher_gate.py, which drives every reason through BOTH
+    engines."""
+    from ..operators.dedup import ngram_array
+
     norm = normalized_text()
-
-    def grams(n):
-        return F.expr(
-            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
-            f"i -> concat_ws(' ', slice(_toks, i, {n})))"
-        )
-
     base = t(spark, sf_dir, "documents").select(
         "doc_id", norm.alias("_norm"), F.split(norm, " ").alias("_toks")
     )
@@ -285,8 +296,8 @@ def q_gopher_repetition(spark, sf_dir):
         "doc_id",
         "_norm",
         F.size("_toks").cast("long").alias("n_tokens"),
-        grams(2).alias("_g2"),
-        grams(3).alias("_g3"),
+        ngram_array("_toks", 2).alias("_g2"),
+        ngram_array("_toks", 3).alias("_g3"),
     )
     mean_wl = (
         F.length(F.replace(F.col("_norm"), F.lit(" "), F.lit(""))).cast("double")
@@ -347,8 +358,7 @@ def q_gopher_repetition(spark, sf_dir):
     ),
     grams AS (
         SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-                      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+               unnest({ngram_list_sql("tk", 3)}) AS g
         FROM toks
     ),
     counts AS (
@@ -368,15 +378,13 @@ def q_ngram_topk_global(spark, sf_dir):
     TakeOrdered top-k: map-side combine bounds the shuffle by distinct
     n-grams per partition, never row count; the same shape as
     q_token_topk one level up."""
+    from ..operators.dedup import ngram_array
+
     norm = normalized_text()
-    grams = F.expr(
-        "transform(sequence(1, greatest(size(_toks) - 2, 1)), "
-        "i -> concat_ws(' ', slice(_toks, i, 3)))"
-    )
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split(norm, " ").alias("_toks"))
-        .select("doc_id", F.explode(grams).alias("ngram"))
+        .select("doc_id", F.explode(ngram_array("_toks", 3)).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -393,7 +401,7 @@ def q_ngram_topk_global(spark, sf_dir):
     WITH scored AS (
         SELECT doc_id,
                LENGTH(text) - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
-               LENGTH(text) AS n,
+               GREATEST(LENGTH(text), 1) AS n,
                CASE WHEN CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS VARCHAR)
                          IN ('0','1','2') THEN 'eval' ELSE 'train' END AS split
         FROM documents
@@ -425,8 +433,12 @@ def q_curriculum_buckets(spark, sf_dir):
     approx_percentile boundaries — one aggregate + a per-row CASE,
     no sort — at the cost of approximate bin edges. The exact NTILE
     form is the verification gear the oracle can replay."""
-    n = F.length(F.col("text"))
-    n_alpha = n - F.length(F.regexp_replace(F.col("text"), "[a-zA-Z]", ""))
+    raw_n = F.length(F.col("text"))
+    # greatest(n, 1): an empty document must score 0.0, not 0/0 —
+    # Spark yields NULL there but DuckDB yields NaN, and the two sort
+    # to OPPOSITE ends of the NTILE order
+    n = F.greatest(raw_n, F.lit(1))
+    n_alpha = raw_n - F.length(F.regexp_replace(F.col("text"), "[a-zA-Z]", ""))
     split = F.when(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2"),
         "eval",

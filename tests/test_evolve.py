@@ -65,6 +65,18 @@ def test_decimal_decimal_widening():
     )
     # 20 integer digits + 4 fractional
     assert out["x"].dataType == T.DecimalType(24, 4)
+    # At the precision-38 cap, integer digits win and scale gives way:
+    # decimal(38,0) x decimal(10,4) must KEEP all 38 integer digits
+    # (decimal(38,4) would silently NULL 35+-digit values).
+    out = evolve_schema(
+        _st(("x", T.DecimalType(38, 0))), _st(("x", T.DecimalType(10, 4)))
+    )
+    assert out["x"].dataType == T.DecimalType(38, 0)
+    out = evolve_schema(
+        _st(("x", T.DecimalType(38, 2))), _st(("x", T.DecimalType(38, 10)))
+    )
+    # 36 integer digits needed -> at most 2 fractional survive
+    assert out["x"].dataType == T.DecimalType(38, 2)
 
 
 def test_evolved_union_decimal_long_values_survive(spark):

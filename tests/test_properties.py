@@ -241,6 +241,11 @@ def test_widening_is_symmetric_and_lossless_for_integers(a, b):
     w_ab = _widen(ta, tb, coerce_to_string=False)
     w_ba = _widen(tb, ta, coerce_to_string=False)
     assert w_ab == w_ba
+    if isinstance(ta, T.DecimalType) and isinstance(tb, T.DecimalType):
+        # integer digits are never sacrificed, even at the 38 cap —
+        # dropping them would silently NULL overflowing values
+        need_intd = max(ta.precision - ta.scale, tb.precision - tb.scale)
+        assert w_ab.precision - w_ab.scale >= need_intd
     for side in (ta, tb):
         name = type(side).__name__
         if name not in _INT_MAX:
