@@ -428,11 +428,15 @@ def q_curriculum_buckets(spark, sf_dir):
     the reproducible-everywhere alternative to rand() splits, same
     rationale as `operators/mixing`. Per-(split, bin) manifest out.
 
-    Scale note: NTILE is a per-split total order (a ranking sort); at
-    100 TB swap it for range-bucketing on pre-computed
-    approx_percentile boundaries — one aggregate + a per-row CASE,
-    no sort — at the cost of approximate bin edges. The exact NTILE
-    form is the verification gear the oracle can replay."""
+    This is the exact gear of ``operators/curriculum.py`` —
+    NTILE is a per-split total order (a ranking sort), fine at
+    verification scale; the 100 TB path is
+    ``curriculum_buckets(exact=False)``: range-bucketing on
+    per-split approx-percentile boundaries — one aggregate + a
+    per-row array scan, no sort (plan pinned in
+    tests/test_plans.py)."""
+    from ..operators.curriculum import curriculum_buckets
+
     raw_n = F.length(F.col("text"))
     # greatest(n, 1): an empty document must score 0.0, not 0/0 —
     # Spark yields NULL there but DuckDB yields NaN, and the two sort
@@ -443,16 +447,14 @@ def q_curriculum_buckets(spark, sf_dir):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2"),
         "eval",
     ).otherwise("train")
-    from pyspark.sql import Window as W
 
     scored = t(spark, sf_dir, "documents").select(
         "doc_id",
         split.alias("split"),
         (n_alpha.cast("double") / n).alias("_q"),
     )
-    binned = scored.withColumn(
-        "difficulty_bin",
-        F.ntile(5).over(W.partitionBy("split").orderBy(F.col("_q"), F.col("doc_id"))),
+    binned = curriculum_buckets(
+        scored, quality_col="_q", split_col="split", id_col="doc_id", n_bins=5, exact=True
     )
     return binned.groupBy("split", "difficulty_bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
