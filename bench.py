@@ -66,13 +66,21 @@ def main() -> None:
     # Per-query: one untimed warm run (whole-stage-codegen JIT is a
     # per-plan, amortized-in-production cost), then the timed run —
     # steady-state throughput, full distributed action each time.
+    # SPARK_GRAFT_BENCH_RUNS>1 takes the best of N timed runs (for
+    # ambient-load adjudication); the default single run is the
+    # driver contract.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
         queries[name](spark, sf_dir).count()
-        t0 = time.time()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            queries[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         total = round(total + timings[name], 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -10,9 +10,11 @@ source replaces both with a PARALLEL partitioned read: each of
 driver-side row loop, and resumability comes from idempotent re-runs
 instead of row bookmarks.
 
-No database ships in this environment, so the integration surface is
-exercised by unit tests over the option-building logic; the reader
-calls are the stock ``spark.read.jdbc`` path.
+The reader/writer calls are the stock ``spark.read.jdbc`` path;
+beyond the option-building unit tests, the whole surface is EXECUTED
+end-to-end against embedded Derby (which ships in Spark's jars) in
+``tests/test_jdbc_executed.py`` — real partitioned range reads,
+batched inserts, and probe-query pushdowns.
 """
 
 from __future__ import annotations

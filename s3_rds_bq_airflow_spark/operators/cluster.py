@@ -103,11 +103,14 @@ def star_contraction_components(
     - small-star: every neighbor SMALLER than u (and u itself)
       re-parents to the min smaller neighbor — flattens into stars.
 
-    Fixpoint = the edge set stops changing (checked by a count +
-    order-independent hash signature, one bounded scalar collect per
-    round); the final edges are stars (child -> component min), so
-    the labeling is a single left join, singletons labeling
-    themselves.
+    Fixpoint = the edge set stops changing, checked EXACTLY: a
+    per-round count, and — only when counts match — an
+    ``exceptAll``-emptiness probe (both sets are distinct, so equal
+    cardinality + empty one-sided difference <=> set equality). No
+    hash-collision risk; the extra difference job runs just on
+    candidate-fixpoint rounds. The final edges are stars (child ->
+    component min), so the labeling is a single left join,
+    singletons labeling themselves.
     """
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -115,7 +118,7 @@ def star_contraction_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
+    n_prev = e.count()
     for _ in range(max_iterations):
         bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         # large-star
@@ -145,17 +148,11 @@ def star_contraction_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        row = e_new.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: full-range hash values overflow a long
-            # accumulator under ANSI mode
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        e = e_new
-        if sig == prev_sig:
+        n_new = e_new.count()
+        converged = n_new == n_prev and e_new.exceptAll(e).isEmpty()
+        e, n_prev = e_new, n_new
+        if converged:
             break
-        prev_sig = sig
     else:
         raise RuntimeError(
             f"star_contraction_components: no fixpoint in {max_iterations} rounds"

@@ -37,12 +37,19 @@ the float->decimal cast is engine-portable), centroids are exact
 integer COMPONENT SUMS of their members (cosine is scale-invariant,
 so sum ≡ mean for assignment/probing — no division anywhere), and
 every ordering key is ``dot / sqrt(norm2)`` computed from exact
-integer aggregates. All integers stay far below 2^53 (|x| < 1, dim
-64, corpus <= millions), so the int->double casts are EXACT and the
-remaining sqrt/divide are single correctly-rounded IEEE ops — the
-keys, hence the assignments, probes, and final top-k, are
-bit-identical on any engine. The whole fit+search pipeline becomes a
-DuckDB-expressible oracle (queries/similarity.py).
+integer aggregates. Dots and norms accumulate in DECIMAL(38,0)
+(HUGEINT on the DuckDB side): centroid components grow linearly and
+their squares QUADRATICALLY with cell size, so a long accumulator
+would leave 2^53/int64 territory around ~12k/4e5 sign-aligned
+members per cell — decimal keeps every aggregate an exact integer at
+any cell size the 38-digit width can hold (~1e12 members at dim 64).
+The final decimal->double casts are correctly-rounded from the SAME
+exact integer on both engines, and the remaining sqrt/divide are
+single IEEE ops — the keys, hence the assignments, probes, and final
+top-k, are bit-identical on any engine. Centroid component sums
+themselves stay long (linear in cell size: overflow needs ~9e15
+members). The whole fit+search pipeline becomes a DuckDB-expressible
+oracle (queries/similarity.py).
 """
 
 from __future__ import annotations
@@ -70,12 +77,16 @@ def _quantize_long(vec):
     return F.transform(col, lambda x: (x.cast("decimal(9,3)") * _Q_SCALE).cast("long"))
 
 
-def _dot_long(a, b):
+def _dot_exact(a, b):
+    """Exact integer dot product of two array<long>, accumulated in
+    DECIMAL(38,0) so centroid-sized components (linear in cell
+    members; their squares quadratic) can never wrap an int64 or
+    leave exact-integer territory — see module docstring."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(ca, cb, lambda x, y: x * y),
-        F.lit(0).cast("long"),
+        F.zip_with(ca, cb, lambda x, y: x.cast("decimal(19,0)") * y),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: acc + x,
     )
 
@@ -83,9 +94,10 @@ def _dot_long(a, b):
 def _ckey(dot, norm2):
     """Assignment/probe ordering key ``dot / |c|`` from exact integer
     aggregates (|x| is constant per row — irrelevant to the argmax).
-    Inputs < 2^53, so the casts are exact and sqrt/divide are single
-    correctly-rounded IEEE ops: bit-identical across engines. A
-    zero-norm centroid (fully cancelled cell) keys below any cosine."""
+    ``dot``/``norm2`` are exact DECIMAL(38,0) integers; both engines
+    correctly-round the same integer to double, and sqrt/divide are
+    single IEEE ops: bit-identical across engines. A zero-norm
+    centroid (fully cancelled cell) keys below any cosine."""
     return F.when(norm2 == 0, F.lit(-2.0)).otherwise(
         dot.cast("double") / F.sqrt(norm2.cast("double"))
     )
@@ -163,12 +175,12 @@ def ivf_assign(
     engine-portable integer key instead of double cosine."""
     if exact:
         cents = F.broadcast(
-            centroids.select("cid", "cvec", _dot_long("cvec", "cvec").alias("__cn2"))
+            centroids.select("cid", "cvec", _dot_exact("cvec", "cvec").alias("__cn2"))
         )
         scored = (
             embeddings.withColumn("__xi", _quantize_long(F.col(vec_col)))
             .crossJoin(cents)
-            .withColumn("__sim", _ckey(_dot_long("__xi", "cvec"), F.col("__cn2")))
+            .withColumn("__sim", _ckey(_dot_exact("__xi", "cvec"), F.col("__cn2")))
         )
     else:
         scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
@@ -205,8 +217,8 @@ def ivf_topk(
     q = query_vec.select(F.col(vec_col).alias("_qvec"))
     if exact:
         csim = _ckey(
-            _dot_long("cvec", _quantize_long(F.col("_qvec"))),
-            _dot_long("cvec", "cvec"),
+            _dot_exact("cvec", _quantize_long(F.col("_qvec"))),
+            _dot_exact("cvec", "cvec"),
         )
     else:
         csim = cosine_fast(F.col("cvec"), F.col("_qvec"))

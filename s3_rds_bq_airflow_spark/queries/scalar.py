@@ -334,6 +334,99 @@ def q_geojson_points(spark, sf_dir):
     )
 
 
+@query(
+    "q_geojson_geometries",
+    oracle="""
+    WITH base AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey % 360 - 180 AS VARCHAR) AS x,
+               CAST(s_suppkey % 180 - 90 AS VARCHAR) AS y,
+               CAST(s_suppkey % 360 - 179 AS VARCHAR) AS x1,
+               CAST(s_suppkey % 180 - 89 AS VARCHAR) AS y1
+        FROM supplier
+    ),
+    g AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 2 = 0
+                    THEN '{"type":"LineString","coordinates":[['
+                         || x || ',' || y || '],[' || x1 || ',' || y || '],['
+                         || x1 || ',' || y1 || ']]}'
+                    ELSE '{"type":"Polygon","coordinates":[[['
+                         || x || ',' || y || '],[' || x1 || ',' || y || '],['
+                         || x1 || ',' || y1 || '],[' || x || ',' || y || ']]]}'
+               END AS geojson
+        FROM base
+    )
+    SELECT s_suppkey, geojson,
+           json_extract_string(geojson, '$.type') AS geom_type,
+           CAST(json_array_length(CASE WHEN json_extract_string(geojson, '$.type') = 'Polygon'
+                     THEN json_extract(geojson, '$.coordinates[0]')
+                     ELSE json_extract(geojson, '$.coordinates') END) AS BIGINT) AS n_vertices,
+           CAST(CASE WHEN json_extract_string(geojson, '$.type') = 'Polygon'
+                     THEN json_extract_string(geojson, '$.coordinates[0][0]')
+                          = json_extract_string(geojson, '$.coordinates[0][3]')
+                     ELSE FALSE END AS BIGINT) AS ring_closed,
+           CAST(CASE WHEN json_extract_string(geojson, '$.type') = 'Polygon'
+                     THEN json_extract_string(geojson, '$.coordinates[0][0][0]')
+                     ELSE json_extract_string(geojson, '$.coordinates[0][0]') END
+                AS BIGINT) AS first_x
+    FROM g
+    """,
+)
+def q_geojson_geometries(spark, sf_dir):
+    """F6/S17 beyond Points: ST_AsGeoJSON emits ANY geometry in the
+    reference's scan projections (`tap_mysql/sync_strategies/
+    common.py:79-81`); this closes the LineString/Polygon shapes with
+    RFC-7946 text built from key-derived integer coordinates —
+    alternating geometry type per key, Polygon rings CLOSED (first
+    vertex repeated last). Parse-back proves well-formedness on both
+    engines: type tag, vertex count (ring vs line path depth), ring
+    closure, and the first coordinate, all via JSON paths. Pure
+    JVM-side string/JSON expressions — zero shuffle, scan-projection
+    shaped, exactly like the reference's per-row rewrite."""
+    s = t(spark, sf_dir, "supplier")
+    x = (F.col("s_suppkey") % 360 - 180).cast("string")
+    y = (F.col("s_suppkey") % 180 - 90).cast("string")
+    x1 = (F.col("s_suppkey") % 360 - 179).cast("string")
+    y1 = (F.col("s_suppkey") % 180 - 89).cast("string")
+
+    def pt(px, py):
+        return F.concat(F.lit("["), px, F.lit(","), py, F.lit("]"))
+
+    line = F.concat(
+        F.lit('{"type":"LineString","coordinates":['),
+        pt(x, y), F.lit(","), pt(x1, y), F.lit(","), pt(x1, y1),
+        F.lit("]}"),
+    )
+    poly = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[['),
+        pt(x, y), F.lit(","), pt(x1, y), F.lit(","), pt(x1, y1), F.lit(","), pt(x, y),
+        F.lit("]]}"),
+    )
+    geojson = F.when(F.col("s_suppkey") % 2 == 0, line).otherwise(poly)
+    gtype = F.get_json_object(geojson, "$.type")
+    is_poly = gtype == "Polygon"
+    ring = F.when(is_poly, F.get_json_object(geojson, "$.coordinates[0]")).otherwise(
+        F.get_json_object(geojson, "$.coordinates")
+    )
+    ring_closed = F.when(
+        is_poly,
+        F.get_json_object(geojson, "$.coordinates[0][0]")
+        == F.get_json_object(geojson, "$.coordinates[0][3]"),
+    ).otherwise(F.lit(False))
+    first_x = F.when(
+        is_poly, F.get_json_object(geojson, "$.coordinates[0][0][0]")
+    ).otherwise(F.get_json_object(geojson, "$.coordinates[0][0]"))
+    return s.select(
+        "s_suppkey",
+        geojson.alias("geojson"),
+        gtype.alias("geom_type"),
+        F.json_array_length(ring).cast("long").alias("n_vertices"),
+        ring_closed.cast("long").alias("ring_closed"),
+        first_x.cast("long").alias("first_x"),
+    )
+
+
 # UUIDv3 bit surgery: nibble 13 is the version ('3' = name-based MD5),
 # nibble 17 carries the variant ((n & 0x3) | 0x8 -> 8/9/a/b).
 _UUID_VARIANT_SQL = """CASE WHEN SUBSTRING(h, 17, 1) IN ('0','4','8','c') THEN '8'

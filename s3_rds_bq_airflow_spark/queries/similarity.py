@@ -242,12 +242,16 @@ def q_embedding_neardup(spark, sf_dir):
     corpus = emb.unionByName(twins)
     # materialize the bucketed corpus ONCE: the exact-decimal
     # projection is ~512 decimal multiplies per row, and the self-join
-    # below would otherwise evaluate it independently on both sides
+    # below would otherwise evaluate it independently on both sides.
+    # persist(), not localCheckpoint: a checkpoint replaces the scan
+    # subtree with an ExistingRDD, blinding the catalog-wide plan
+    # guards (pushdown/broadcast pins) and running a job at
+    # plan-build time; the cached plan keeps the scans visible.
     bucketed = corpus.select(
         "vec_id",
         "embedding",
         signed_projection_bucket_exact(F.col("embedding"), _PLANES_Q6).alias("bucket"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     left, right = bucketed.alias("l"), bucketed.alias("r")
     return (
         left.join(
@@ -339,10 +343,13 @@ _IVF_N_PROBE = 4
 def _ivf_assign_ctes(tag: str, cents: str) -> str:
     """CTE triple assigning every vector to its best cell in ``cents``
     ((cid, i, x) integer rows): norms, dots, then the row_number pick
-    with the engine-portable key and (key DESC, cid) tie-break."""
+    with the engine-portable key and (key DESC, cid) tie-break.
+    Products/sums run in HUGEINT (int128) — the twin of Spark's
+    DECIMAL(38,0) accumulation in operators/ivf.py: both engines
+    correctly-round the SAME exact integer to double in the key."""
     return f"""
-n{tag} AS (SELECT cid, CAST(SUM(x * x) AS BIGINT) AS n2 FROM {cents} GROUP BY cid),
-d{tag} AS (SELECT e.vec_id, c.cid, CAST(SUM(e.x * c.x) AS BIGINT) AS dot
+n{tag} AS (SELECT cid, SUM(CAST(x AS HUGEINT) * x) AS n2 FROM {cents} GROUP BY cid),
+d{tag} AS (SELECT e.vec_id, c.cid, SUM(CAST(e.x AS HUGEINT) * c.x) AS dot
            FROM xi e JOIN {cents} c ON e.i = c.i
            GROUP BY e.vec_id, c.cid),
 a{tag} AS (SELECT vec_id, cid FROM (
@@ -380,7 +387,7 @@ s2 AS (SELECT a.cid, e.i, CAST(SUM(e.x) AS BIGINT) AS x
 c2 AS (SELECT * FROM s2 UNION ALL
        SELECT * FROM c1 WHERE cid NOT IN (SELECT DISTINCT cid FROM s2)),
 {_ivf_assign_ctes("2", "c2")},
-qd AS (SELECT c.cid, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+qd AS (SELECT c.cid, SUM(CAST(q.x AS HUGEINT) * c.x) AS dot
        FROM (SELECT i, x FROM xi WHERE vec_id = {_QUERY_VEC_ID}) q
        JOIN c2 c ON c.i = q.i GROUP BY c.cid),
 probes AS (SELECT cid FROM (

@@ -148,8 +148,11 @@ def q_nearest_supplier(spark, sf_dir):
     geolocation-style op is the point). Broadcast the small side,
     per-probe top-1 via window — exact arithmetic keeps the oracle
     hash-tight (transcendental haversine lives in the rows-only ANN
-    queries). At scale the cross join is replaced by the LSH-bucketed
-    ANN path (q_cosine_ann_lsh) — this is the exact small-side form."""
+    queries). The crossJoin is safe ONLY because the supplier side is
+    an explicitly broadcast dimension; the 100 TB path is the
+    grid-bucketed form, q_nearest_supplier_bucketed (operators/geo.py
+    cell equi-join + 3x3 probe) — this query is its exact
+    verification twin."""
     from pyspark.sql import Window as W
 
     cust = (
@@ -262,7 +265,7 @@ def q_quality_report(spark, sf_dir):
         FROM d
     )
     SELECT c_custkey, s_suppkey AS nearest_suppkey,
-           ROUND(dist_km, 3) AS dist_km_r3
+           ROUND(ROUND(dist_km, 6), 3) AS dist_km_r3
     FROM r WHERE rn = 1
     """,
 )
@@ -273,8 +276,13 @@ def q_haversine_nearest(spark, sf_dir):
     UDF. libm transcendentals agree only to ~1 ulp across engines, so
     the argmin DECISION orders by the 6-dp-rounded distance (1 mm
     granularity — ulp noise can't flip it) with the suppkey tie-break;
-    the reported distance rounds to 3 dp as usual. Metric correctness
-    against a brute-force euclidean twin: q_nearest_supplier."""
+    the REPORTED distance is derived from that same quantized value
+    (round-6 then round-3), so a ~1-ulp raw difference sitting on a
+    .0005 km boundary can't flip the emitted digits either. The
+    crossJoin broadcasts the supplier dimension; at 100 TB use the
+    grid-bucketed plan (q_nearest_supplier_bucketed /
+    operators/geo.py) — this is its haversine-metric verification
+    twin. Euclidean twin: q_nearest_supplier."""
     from pyspark.sql import Window as W
 
     cust = (
@@ -305,7 +313,11 @@ def q_haversine_nearest(spark, sf_dir):
         .withColumn("dist_km", dist_km)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), F.round("dist_km", 3).alias("dist_km_r3"))
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.round(F.round("dist_km", 6), 3).alias("dist_km_r3"),
+        )
     )
 
 

@@ -91,3 +91,92 @@ def test_stream_upsert_with_tombstones(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: r["name"] for r in spark.read.parquet(target).collect()}
     assert got == {2: "b", 3: "c"}  # key 1 tombstoned in batch 1
+
+
+def test_stream_upsert_restart_from_checkpoint_mid_stream(spark, tmp_path):
+    """End-to-end changefeed with a mid-stream kill (the engine's
+    answer to a binlog sync restart, tap_mysql/sync_strategies/
+    binlog.py:200-266): interleaved inserts/updates/deletes across 5
+    micro-batch files, stop the query while it is draining, append
+    more change files, restart from the SAME checkpoint, and the
+    final parquet state must equal the one-shot batch oracle no
+    matter where the kill landed. A third run with no new files must
+    be a no-op (idempotent replay/exactly-once)."""
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "name": pa.array([r[1] for r in rows], pa.string()),
+                "seq": pa.array([r[2] for r in rows], pa.int64()),
+                "_sdc_deleted_at": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, name))
+        os.utime(os.path.join(d, name), (mtime, mtime))
+
+    D = "2024-01-01"
+    batches = [
+        [(1, "a", 1, None), (2, "b", 2, None)],
+        [(3, "c", 3, None), (1, "a2", 4, None)],            # update 1
+        [(2, None, 5, D), (4, "d", 6, None)],               # delete 2, insert 4
+        [(4, None, 7, D), (4, "d2", 8, None), (5, "e", 9, None)],  # del+reinsert 4
+        [(3, None, 10, D), (1, "a3", 11, None)],            # delete 3, update 1
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches[:3]):
+        write(f"b{i}.parquet", rows, now + i)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("_sdc_deleted_at", T.StringType()),
+        ]
+    )
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        return stream_upsert_parquet(
+            stream,
+            target,
+            keys=["k"],
+            order_cols=["seq"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            tombstone_col="_sdc_deleted_at",
+            available_now=available_now,
+        )
+
+    target = str(tmp_path / "tgt")
+    # run 1: free-running; kill it somewhere mid-drain
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while not os.path.exists(target) and time.time() < deadline:
+        time.sleep(0.2)
+    assert os.path.exists(target), "first micro-batch never landed"
+    q.stop()
+    q.awaitTermination(60)
+
+    # feed keeps growing while the consumer is down
+    for i, rows in enumerate(batches[3:], start=3):
+        write(f"b{i}.parquet", rows, now + i)
+
+    # run 2: restart from the same checkpoint, drain everything
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+    expected = {1: "a3", 4: "d2", 5: "e"}  # 2 and 3 tombstoned
+    got = {r["k"]: r["name"] for r in spark.read.parquet(target).collect()}
+    assert got == expected
+
+    # run 3: no new files -> replay must not change state
+    q3 = start(available_now=True)
+    q3.awaitTermination(120)
+    got3 = {r["k"]: r["name"] for r in spark.read.parquet(target).collect()}
+    assert got3 == expected

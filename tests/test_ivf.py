@@ -54,3 +54,17 @@ def test_deterministic_fit(emb):
     c1 = sorted(ivf_fit(emb, n_centroids=8, n_iters=2).collect())
     c2 = sorted(ivf_fit(emb, n_centroids=8, n_iters=2).collect())
     assert c1 == c2
+
+
+def test_dot_exact_survives_int64_overflow(spark):
+    """Centroid norm2 grows quadratically with cell size; the
+    DECIMAL(38,0) accumulator must stay exact where a long would
+    wrap (components ~3e9 -> dot 3.6e19 > int64 max)."""
+    from pyspark.sql import functions as F
+
+    from s3_rds_bq_airflow_spark.operators.ivf import _dot_exact
+
+    comp = 3_000_000_000
+    df = spark.createDataFrame([([comp] * 4,)], "v array<long>")
+    got = df.select(_dot_exact("v", "v").cast("string").alias("d")).first().d
+    assert int(got) == 4 * comp * comp

@@ -207,3 +207,30 @@ def test_histogram_state_single_shuffle(q):
     per-value shuffles)."""
     df = q("q_histogram_quantiles")
     assert shuffle_count(df) <= 8
+
+
+def test_minhash_lsh_candidates_are_banded_equi_join(spark, sf_dir):
+    """The structural no-all-pairs guarantee for dedup at 100 TB
+    (operators/dedup.py): LSH candidate generation must compile to an
+    EQUI-join keyed on (band, sig) — never a CartesianProduct or a
+    nested-loop join over the corpus. Auto-broadcast is disabled so
+    the assertion is about join STRUCTURE, not tiny-SF size
+    estimates."""
+    from s3_rds_bq_airflow_spark.plans.inspect import formatted_plan, plan_nodes
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
+        nodes = plan_nodes(df)
+        assert "CartesianProduct" not in nodes, nodes
+        assert "BroadcastNestedLoopJoin" not in nodes, nodes
+        txt = formatted_plan(df)
+        key_lines = [
+            line
+            for line in txt.splitlines()
+            if line.strip().startswith("Left keys") and "band" in line and "sig" in line
+        ]
+        assert key_lines, "no join keyed on (band, sig) in plan:\n" + txt[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
