@@ -224,3 +224,65 @@ def knn_join(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def semantic_dedup_keep_one(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    dim: int = 64,
+    n_planes: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): an
+    item is DROPPED iff a lower-id item in the same LSH bucket has
+    cosine similarity >= ``threshold`` with it; the surviving lowest
+    id is the cluster representative. One pass, order-free semantics
+    (no greedy sequential scan): drop(x) = exists y < x in bucket(x)
+    with cos(x, y) >= t — expressible as a banded pair join + groupBy,
+    so the decision is identical on any partitioning.
+
+    Returns the DROP manifest: (dropped_id, keeper_id = min matching
+    lower id, n_matches). Scale shape: bucket projection is a per-row
+    map; the self-join is an equi-join on bucket id (never all-pairs);
+    pair count is bounded by bucket occupancy, the same guarantee as
+    MinHash LSH banding (`operators/dedup.py`). ``exact=True`` runs
+    decimal projections/cosines for cross-engine verification; the
+    double path is the throughput gear."""
+    if exact:
+        planes_q6 = _hyperplanes_q6(dim, n_planes)
+        bucket_of = lambda c: signed_projection_bucket_exact(c, planes_q6)  # noqa: E731
+        cos_of = cosine_exact
+    else:
+        planes = _hyperplanes(dim, n_planes)
+        bucket_of = lambda c: signed_projection_bucket(c, planes)  # noqa: E731
+        cos_of = cosine_fast
+    # persist(): the projection is ~n_planes*dim multiplies per row and
+    # feeds BOTH sides of the self-join (same rationale and same
+    # non-checkpoint choice as q_embedding_neardup — keep scans
+    # visible to the catalog-wide plan guards).
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("_bucket")
+    ).persist()
+    left, right = bucketed.alias("l"), bucketed.alias("r")
+    pairs = left.join(
+        right,
+        (F.col(f"l._bucket") == F.col(f"r._bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("_id_keep"),
+        F.col(f"r.{id_col}").alias("_id_drop"),
+        cos_of(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("_cos"),
+    )
+    # threshold on the ROUNDED cosine: the raw double can differ ~1 ulp
+    # between engines at the boundary (decimal->double cast).
+    return (
+        pairs.where(F.round(F.col("_cos"), 6) >= threshold)
+        .groupBy(F.col("_id_drop").alias("dropped_id"))
+        .agg(
+            F.min("_id_keep").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )

@@ -444,3 +444,70 @@ def q_cosine_ann_ivf(spark, sf_dir):
         assigned, centroids, qv, k=_TOPK, n_probe=_IVF_N_PROBE, exact=True
     )
     return ann.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+
+
+_ORACLE_SEMANTIC_DEDUP = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * CAST(1.0001 AS DOUBLE) AS FLOAT))
+    FROM embeddings WHERE vec_id % 29 = 0
+),
+{_BUCKET_CTES},
+pairs AS (
+    SELECT a.vec_id AS id_keep, b.vec_id AS id_drop
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norm2 AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS n2 FROM elems GROUP BY 1),
+dots AS (
+    SELECT p.id_keep, p.id_drop, CAST(SUM(ea.x * eb.x) AS DOUBLE) AS dot
+    FROM pairs p
+      JOIN elems ea ON ea.vec_id = p.id_keep
+      JOIN elems eb ON eb.vec_id = p.id_drop AND ea.i = eb.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.id_keep, d.id_drop,
+           d.dot / (SQRT(na.n2) * SQRT(nb.n2)) AS cosine
+    FROM dots d
+      JOIN norm2 na ON na.vec_id = d.id_keep
+      JOIN norm2 nb ON nb.vec_id = d.id_drop
+)
+SELECT id_drop AS dropped_id,
+       MIN(id_keep) AS keeper_id,
+       COUNT(*) AS n_matches
+FROM scored
+WHERE ROUND(cosine, 6) >= 0.999
+GROUP BY id_drop
+"""
+
+
+@query("q_semantic_dedup", oracle=_ORACLE_SEMANTIC_DEDUP)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication over the planted-twin
+    corpus (the same perturbed copies q_embedding_neardup detects):
+    LSH-bucket the embeddings, drop any vector matched at cosine >=
+    0.999 by a lower-id bucket-mate, keep the lowest id as the
+    representative — the keep/drop DECISION operator on top of the
+    pair-detection one. Declared in exact-decimal mode so buckets,
+    the pair set, the threshold, and the keeper choice all verify
+    against the DuckDB oracle. Production runs the same operator with
+    ``exact=False`` (double projections) — identical plan shape.
+
+    Scale: equi-join on bucket id only (no all-pairs), pair volume
+    bounded by bucket occupancy; the drop manifest then anti-joins
+    the corpus — the standard 100 TB semantic-dedup flow."""
+    from ..operators.similarity import semantic_dedup_keep_one
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    return semantic_dedup_keep_one(corpus, threshold=0.999, exact=True)

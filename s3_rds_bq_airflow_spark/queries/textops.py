@@ -395,6 +395,161 @@ def q_ngram_topk_global(spark, sf_dir):
     )
 
 
+# C4-style gate thresholds (Raffel et al. 2020 §2.2 heuristics,
+# re-parameterized for the synthetic corpus's 9-110-token documents so
+# both keep outcomes actually occur at test SFs).
+_C4_MIN_TOKENS = 40
+_C4_MAX_TOKENS = 5000
+_C4_MEAN_LEN_LO = 2.5
+_C4_MEAN_LEN_HI = 8.0
+_C4_MIN_STOPWORD_HITS = 2
+_C4_STOPWORDS = (" the ", " a ", " of ", " and ")
+
+
+@query(
+    "q_c4_quality_gate",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               {NORMALIZE_SQL} AS norm,
+               ' ' || {NORMALIZE_SQL} || ' ' AS padded,
+               LEN(string_split({NORMALIZE_SQL}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               CAST(LENGTH(norm) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_tok,
+               {" + ".join(_occurrences_sql("padded", w) for w in _C4_STOPWORDS)}
+                   AS stopword_hits,
+               strpos(norm, chr(123)) AS brace_pos,
+               strpos(norm, 'lorem ipsum') AS lorem_pos
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(mean_tok, 6) AS mean_token_len_r6,
+           stopword_hits,
+           CAST(n_tokens >= {_C4_MIN_TOKENS} AS BIGINT) AS pass_min_words,
+           CAST(n_tokens <= {_C4_MAX_TOKENS} AS BIGINT) AS pass_max_words,
+           CAST(mean_tok >= {_C4_MEAN_LEN_LO} AND mean_tok <= {_C4_MEAN_LEN_HI}
+                AS BIGINT) AS pass_word_len,
+           CAST(brace_pos = 0 AS BIGINT) AS pass_no_brace,
+           CAST(lorem_pos = 0 AS BIGINT) AS pass_no_lorem,
+           CAST(stopword_hits >= {_C4_MIN_STOPWORD_HITS} AS BIGINT) AS pass_stopwords,
+           CAST(n_tokens >= {_C4_MIN_TOKENS} AND n_tokens <= {_C4_MAX_TOKENS}
+                AND mean_tok >= {_C4_MEAN_LEN_LO} AND mean_tok <= {_C4_MEAN_LEN_HI}
+                AND brace_pos = 0 AND lorem_pos = 0
+                AND stopword_hits >= {_C4_MIN_STOPWORD_HITS} AS BIGINT) AS keep
+    FROM s
+    """,
+)
+def q_c4_quality_gate(spark, sf_dir):
+    """C4-style document quality gate (the pre-training corpus filter
+    family from the public C4 paper): token-count band, mean-token-
+    length band, curly-brace (code/markup) filter, boilerplate phrase
+    filter, and a stopword-presence check — every rule a pure JVM
+    column expression over one scan, so at 100 TB this is a
+    zero-shuffle embarrassingly-parallel map, same posture as
+    q_gopher_repetition.
+
+    Cross-engine determinism: token counts and char counts are exact
+    integers; mean token length is one IEEE double division of exact
+    ints (identical both engines); stopword hits use the shared
+    non-overlapping replace-length trick on space-padded normalized
+    text. Flags emitted per rule so downstream mixes can re-weight
+    instead of re-filtering."""
+    norm = normalized_text()
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n_tokens = F.size(F.split(norm, " "))
+    mean_tok = (F.length(norm) - (n_tokens - F.lit(1))).cast("double") / n_tokens
+    stop_hits = None
+    for w in _C4_STOPWORDS:
+        c = _occurrences(padded, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    pass_min = n_tokens >= _C4_MIN_TOKENS
+    pass_max = n_tokens <= _C4_MAX_TOKENS
+    pass_len = (mean_tok >= _C4_MEAN_LEN_LO) & (mean_tok <= _C4_MEAN_LEN_HI)
+    pass_brace = F.instr(norm, "{") == 0
+    pass_lorem = F.instr(norm, "lorem ipsum") == 0
+    pass_stop = stop_hits >= _C4_MIN_STOPWORD_HITS
+    keep = pass_min & pass_max & pass_len & pass_brace & pass_lorem & pass_stop
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len_r6"),
+        stop_hits.alias("stopword_hits"),
+        pass_min.cast("long").alias("pass_min_words"),
+        pass_max.cast("long").alias("pass_max_words"),
+        pass_len.cast("long").alias("pass_word_len"),
+        pass_brace.cast("long").alias("pass_no_brace"),
+        pass_lorem.cast("long").alias("pass_no_lorem"),
+        pass_stop.cast("long").alias("pass_stopwords"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+_TFIDF_TOPK = 3
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORMALIZE_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.term
+               ) AS rn
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {_TFIDF_TOPK}
+    """,
+)
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-document TF-IDF top-3 terms — the classic
+    keyword/topic-signal extraction pass of corpus analysis. Scale
+    shape: explode -> partial-aggregated (doc, term) counts (one
+    shuffle bounded by distinct doc-term pairs), a vocabulary-sized
+    document-frequency aggregate, a term-keyed join (vocabulary side —
+    AQE broadcasts it when small), and a per-document top-k window
+    (each partition's sort is bounded by that document's distinct
+    terms). No global sort, no driver loop.
+
+    Cross-engine determinism: the score uses the rational idf variant
+    tf*N/df computed as ONE IEEE double division of exact integers —
+    correctly rounded and identical in both engines, unlike ln()-based
+    idf whose libm output can differ by 1 ulp. Ranking ties break on
+    the term string."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalized_text(), " ").alias("_toks")
+    )
+    terms = docs.select("doc_id", F.explode("_toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
 @query(
     "q_curriculum_buckets",
     oracle=f"""

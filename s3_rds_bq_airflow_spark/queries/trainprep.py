@@ -410,3 +410,68 @@ def q_corpus_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
+
+
+# Context-window chunking: 32-token chunks on a 24-token stride
+# (8-token overlap), the standard pre-tokenization document slicer.
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_NORM_SQL = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_CHUNK_NORM_SQL}, ' ') AS tk
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, tk,
+               unnest(range(0, len(tk), {_CHUNK_STRIDE})) AS start_tok
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(start_tok / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEN(list_slice(tk, start_tok + 1, start_tok + {_CHUNK_SIZE}))
+                AS BIGINT) AS n_chunk_tokens,
+           MD5(array_to_string(
+               list_slice(tk, start_tok + 1, start_tok + {_CHUNK_SIZE}), ' '
+           )) AS chunk_hash
+    FROM starts
+    """,
+)
+def q_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking for training context windows:
+    each document's token stream is cut into 32-token chunks on a
+    24-token stride (8-token overlap so no boundary context is lost),
+    emitting one manifest row per chunk with a content hash. The
+    chunk-text md5 — not the text itself — is the declared output, so
+    the oracle hash-checks the exact slicing on both engines.
+
+    Scale shape: split + sequence + explode + slice are all JVM array
+    expressions inside one projection — a zero-shuffle map whose
+    output is ~n_tokens/stride rows per document, exactly how a 100 TB
+    corpus is chunked in practice (no window, no groupBy, no Python).
+    Short final chunks are kept (slice clamps at the token-stream end
+    on both engines); downstream packing (q_sequence_packing) handles
+    padding economics."""
+    from ..queries.textops import normalized_text
+
+    toks = F.split(normalized_text(), " ")
+    n = F.size(toks)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))).alias("start_tok"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_tok") + 1, _CHUNK_SIZE)
+    return docs.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

@@ -1,0 +1,179 @@
+"""Round-5 corpus-analysis additions: C4 quality gate, TF-IDF top
+terms, sliding-window chunking, and SemDeDup-style semantic dedup.
+
+Cross-engine value equality is covered by tools/compare.py and the
+driver; these tests pin SEMANTIC invariants (hand-computable
+properties) and the plan shapes that make each op scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_rds_bq_airflow_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def c4_rows(spark, sf_dir):
+    return {r["doc_id"]: r for r in QUERIES["q_c4_quality_gate"](spark, sf_dir).collect()}
+
+
+def test_c4_gate_keep_is_conjunction_of_flags(c4_rows):
+    flags = (
+        "pass_min_words",
+        "pass_max_words",
+        "pass_word_len",
+        "pass_no_brace",
+        "pass_no_lorem",
+        "pass_stopwords",
+    )
+    for r in c4_rows.values():
+        assert r["keep"] == int(all(r[f] == 1 for f in flags)), r
+
+
+def test_c4_gate_splits_the_corpus(c4_rows):
+    """Thresholds must be inside the data's range — a gate that keeps
+    (or rejects) everything verifies nothing."""
+    keeps = {r["keep"] for r in c4_rows.values()}
+    assert keeps == {0, 1}
+
+
+def test_c4_gate_matches_handcount(spark, sf_dir, c4_rows):
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    toks = doc["text"].lower().split()
+    r = c4_rows[doc["doc_id"]]
+    assert r["n_tokens"] == len(toks)
+    assert r["pass_min_words"] == int(len(toks) >= 40)
+    padded = " " + " ".join(toks) + " "
+    hits = sum(padded.count(w) for w in (" the ", " a ", " of ", " and "))
+    assert r["stopword_hits"] == hits
+
+
+def test_tfidf_ranking_invariants(spark, sf_dir):
+    rows = QUERIES["q_tfidf_topterms"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # scores non-increasing in rank; ties broken by term ascending
+        for a, b in zip(rs, rs[1:]):
+            assert (a["score"], ) >= (b["score"], )
+            if a["score"] == b["score"]:
+                assert a["term"] < b["term"]
+        for r in rs:
+            assert r["score"] == pytest.approx(r["tf"] * len(by_doc) / r["df"])
+
+
+def test_tfidf_df_is_document_frequency(spark, sf_dir):
+    rows = QUERIES["q_tfidf_topterms"](spark, sf_dir).collect()
+    term, df = rows[0]["term"], rows[0]["df"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    true_df = sum(1 for d in docs if term in d["text"].lower().split())
+    assert df == true_df
+
+
+def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
+    """Chunk manifest invariants: chunk count = floor((n-1)/24)+1,
+    sizes clamp at the stream end, and the first chunk's hash equals a
+    Python md5 of the first 32 tokens."""
+    chunks = QUERIES["q_chunk_overlap"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        d["doc_id"]: " ".join(d["text"].lower().split()).split()
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, toks in docs.items():
+        rs = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        n = len(toks)
+        assert len(rs) == (n - 1) // 24 + 1
+        for r in rs:
+            start = r["start_tok"]
+            assert r["chunk_idx"] == start // 24
+            assert r["n_chunk_tokens"] == min(32, n - start)
+        first = " ".join(toks[:32])
+        assert rs[0]["chunk_hash"] == hashlib.md5(first.encode()).hexdigest()
+
+
+def test_semantic_dedup_drops_exactly_the_planted_twins(spark, sf_dir):
+    rows = QUERIES["q_semantic_dedup"](spark, sf_dir).collect()
+    assert rows, "planted twins must be detected"
+    for r in rows:
+        # every drop decision points at a strictly lower keeper
+        assert r["keeper_id"] < r["dropped_id"]
+        assert r["n_matches"] >= 1
+    # the planted twins (id >= 1_000_000) are all dropped, each kept
+    # by its original (the only cosine>=0.999 bucket-mate)
+    twins = [r for r in rows if r["dropped_id"] >= 1_000_000]
+    assert {r["dropped_id"] - 1_000_000 == r["keeper_id"] for r in twins} == {True}
+    n_expected = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 29 == 0)
+        .count()
+    )
+    assert len(twins) == n_expected
+
+
+def test_semantic_dedup_fast_gear_agrees_on_planted_twins(spark, sf_dir):
+    """The double-projection throughput gear must reach the same drop
+    decisions as the exact-decimal verification gear on the planted
+    corpus (1-ulp projection skew can only flip empty buckets, not a
+    0.9999+ cosine)."""
+    from s3_rds_bq_airflow_spark.operators.similarity import semantic_dedup_keep_one
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    twins = emb.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    fast = {
+        (r["dropped_id"], r["keeper_id"])
+        for r in semantic_dedup_keep_one(corpus, exact=False).collect()
+    }
+    exact = {
+        (r["dropped_id"], r["keeper_id"])
+        for r in QUERIES["q_semantic_dedup"](spark, sf_dir).collect()
+    }
+    assert fast == exact
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Scale-posture pins: the gate and chunker are zero-shuffle maps;
+    semantic dedup's pair join is an equi-join (bucket key), never a
+    cartesian/nested-loop, even with auto-broadcast off."""
+    from s3_rds_bq_airflow_spark.plans.inspect import plan_nodes
+
+    gate_nodes = plan_nodes(QUERIES["q_c4_quality_gate"](spark, sf_dir))
+    assert not any("Exchange" in n for n in gate_nodes), gate_nodes
+    chunk_nodes = plan_nodes(QUERIES["q_chunk_overlap"](spark, sf_dir))
+    assert not any("Exchange" in n for n in chunk_nodes), chunk_nodes
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sd_nodes = plan_nodes(QUERIES["q_semantic_dedup"](spark, sf_dir))
+        assert not any("CartesianProduct" in n for n in sd_nodes), sd_nodes
+        assert not any("BroadcastNestedLoopJoin" in n for n in sd_nodes), sd_nodes
+        assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in sd_nodes)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
