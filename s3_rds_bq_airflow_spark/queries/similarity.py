@@ -511,3 +511,148 @@ def q_semantic_dedup(spark, sf_dir):
     )
     corpus = emb.unionByName(twins)
     return semantic_dedup_keep_one(corpus, threshold=0.999, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# Hash-checkable product quantization (operators/pq.py): per-subspace
+# k-means replayed as chained CTEs — the same exact-integer mechanism
+# as the IVF oracle, with every CTE carrying a subspace id m.
+# ---------------------------------------------------------------------------
+_PQ_M = 4          # subspaces (sub_dim = 64 / 4 = 16)
+_PQ_K = 8          # codes per subspace
+_PQ_SUB = 64 // _PQ_M
+
+
+def _pq_assign_ctes(tag: str, cents: str) -> str:
+    """Per-subspace assignment triple over ``cents`` ((m, cid, i, x)
+    integer rows, global dim index i): norms, dots, per-(vector,
+    subspace) top-1 with the portable key and (key DESC, cid)
+    tie-break — the subspace-tagged twin of _ivf_assign_ctes."""
+    return f"""
+n{tag} AS (SELECT m, cid, SUM(CAST(x AS HUGEINT) * x) AS n2
+           FROM {cents} GROUP BY m, cid),
+d{tag} AS (SELECT e.vec_id, c.m, c.cid, SUM(CAST(e.x AS HUGEINT) * c.x) AS dot
+           FROM xi e JOIN {cents} c ON e.i = c.i
+           GROUP BY e.vec_id, c.m, c.cid),
+a{tag} AS (SELECT vec_id, m, cid FROM (
+             SELECT d.vec_id, d.m, d.cid,
+                    ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m ORDER BY
+                      CASE WHEN n.n2 = 0 THEN -2.0
+                           ELSE CAST(d.dot AS DOUBLE) / SQRT(CAST(n.n2 AS DOUBLE)) END DESC,
+                      d.cid) AS rn
+             FROM d{tag} d JOIN n{tag} n ON d.m = n.m AND d.cid = n.cid) r
+           WHERE rn = 1)"""
+
+
+_PQ_FIT_CTES = f"""
+xi AS (
+    SELECT vec_id, i, CAST(CAST(x AS DECIMAL(9,3)) * 1000 AS BIGINT) AS x
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) u
+),
+seeds AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT vec_id FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {_PQ_K}) s
+),
+c0 AS (SELECT (e.i - 1) // {_PQ_SUB} AS m, s.cid, e.i, e.x
+       FROM seeds s JOIN xi e ON e.vec_id = s.vec_id),
+{_pq_assign_ctes("0", "c0")},
+s1 AS (SELECT a.m, a.cid, e.i, CAST(SUM(e.x) AS BIGINT) AS x
+       FROM a0 a JOIN xi e ON e.vec_id = a.vec_id AND (e.i - 1) // {_PQ_SUB} = a.m
+       GROUP BY a.m, a.cid, e.i),
+c1 AS (SELECT * FROM s1 UNION ALL
+       SELECT c.* FROM c0 c WHERE NOT EXISTS
+         (SELECT 1 FROM s1 WHERE s1.m = c.m AND s1.cid = c.cid)),
+{_pq_assign_ctes("1", "c1")}"""
+
+_PQ_CODE_COLS = ",\n       ".join(
+    f"CAST(MAX(CASE WHEN m = {j} THEN cid END) AS BIGINT) AS code_{j}"
+    for j in range(_PQ_M)
+)
+
+_ORACLE_PQ_ENCODE = f"""
+WITH {_PQ_FIT_CTES}
+SELECT vec_id,
+       {_PQ_CODE_COLS}
+FROM a1 GROUP BY vec_id
+"""
+
+_PQ_T_COLS = ",\n              ".join(
+    f"MAX(CASE WHEN a.m = {j} THEN l.term END) AS t{j}" for j in range(_PQ_M)
+)
+_PQ_SCORE = " + ".join(f"t{j}" for j in range(_PQ_M))
+
+_ORACLE_PQ_ADC = f"""
+WITH {_PQ_FIT_CTES},
+qd AS (SELECT c.m, c.cid, SUM(CAST(q.x AS HUGEINT) * c.x) AS dot
+       FROM (SELECT i, x FROM xi WHERE vec_id = {_QUERY_VEC_ID}) q
+       JOIN c1 c ON c.i = q.i GROUP BY c.m, c.cid),
+qn AS (SELECT (i - 1) // {_PQ_SUB} AS m, SUM(CAST(x AS HUGEINT) * x) AS qn2
+       FROM xi WHERE vec_id = {_QUERY_VEC_ID} GROUP BY 1),
+lut AS (SELECT d.m, d.cid,
+               CASE WHEN n.n2 = 0 OR q.qn2 = 0 THEN -2.0
+                    ELSE CAST(d.dot AS DOUBLE)
+                         / (SQRT(CAST(n.n2 AS DOUBLE)) * SQRT(CAST(q.qn2 AS DOUBLE))) END AS term
+        FROM qd d JOIN n1 n ON d.m = n.m AND d.cid = n.cid
+                  JOIN qn q ON q.m = d.m),
+tm AS (SELECT a.vec_id,
+              {_PQ_T_COLS}
+       FROM a1 a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+       GROUP BY a.vec_id)
+SELECT vec_id, ROUND({_PQ_SCORE}, 6) AS adc_score_r6
+FROM tm
+ORDER BY {_PQ_SCORE} DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+@query("q_pq_encode", oracle=_ORACLE_PQ_ENCODE)
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (`operators/pq.py`): 4 subspaces
+    x 8 codes fit with one deterministic Lloyd round (md5 seeding,
+    integer-sum centroids), every vector compressed to a 4-int code
+    tuple — 256 embedding bytes become 4 small ints, the storage form
+    ADC search reads at 100 TB. Declared in exact mode so seeding,
+    the per-subspace k-means, and every code assignment verify
+    against a DuckDB oracle that replays the fit in SQL; the double
+    path is the same operator in throughput gear."""
+    from ..operators.pq import pq_encode, pq_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, n_subspaces=_PQ_M, n_codes=_PQ_K, n_iters=1, exact=True)
+    enc = pq_encode(emb, cb, n_subspaces=_PQ_M, exact=True)
+    return enc.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == j, F.col("code")))
+            .cast("long")
+            .alias(f"code_{j}")
+            for j in range(_PQ_M)
+        ]
+    )
+
+
+@query("q_pq_adc_topk", oracle=_ORACLE_PQ_ADC)
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ ADC top-k: score every encoded vector against the query
+    (vec_id=0) through a broadcast 32-row lookup table of subspace
+    cosines — the compressed-domain search that never touches raw
+    embeddings. The ranking key is the FIXED-ORDER sum t0+t1+t2+t3
+    (never a float SUM aggregate), each term one IEEE expression over
+    exact integer aggregates, so the whole pipeline — fit, encode,
+    LUT, ranking — hash-checks against the SQL replay. Recall-vs-IVF
+    trade: ADC reads 4 ints/vector instead of probing cells; combine
+    with IVF cells for IVFPQ at extreme scale (composition of the two
+    operators)."""
+    from ..operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+    cb = pq_fit(emb, n_subspaces=_PQ_M, n_codes=_PQ_K, n_iters=1, exact=True)
+    enc = pq_encode(emb, cb, n_subspaces=_PQ_M, exact=True)
+    out = pq_adc_topk(
+        enc, cb, qv, k=_TOPK, n_subspaces=_PQ_M, exact=True
+    )
+    return out.select("vec_id", F.round("adc_score", 6).alias("adc_score_r6"))
