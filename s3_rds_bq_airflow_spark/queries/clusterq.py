@@ -230,3 +230,94 @@ def q_pandas_udaf_ols(spark, sf_dir):
         F.round("intercept", 6).alias("intercept_r6"),
         F.round("r2", 6).alias("r2_r6"),
     )
+
+
+_CANON_GROUP = 25
+
+_ORACLE_CANONICAL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           doc_id // {_CANON_GROUP} AS g,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                AS DOUBLE) / GREATEST(LENGTH(text), 1) AS q
+    FROM documents
+),
+lab AS (
+    SELECT doc_id, q,
+           MIN(doc_id) OVER (PARTITION BY g) AS cluster_id,
+           COUNT(*)    OVER (PARTITION BY g) AS cluster_size
+    FROM scored
+)
+SELECT doc_id, cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       FIRST_VALUE(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS canonical_doc_id,
+       CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS BIGINT) AS is_canonical
+FROM lab
+"""
+
+
+@query("q_dedup_canonical", oracle=_ORACLE_CANONICAL)
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end dedup composition: connected components over a
+    planted near-dup graph, then QUALITY-BASED canonical selection —
+    each cluster keeps its highest-quality member (alpha-ratio score,
+    doc_id tie-break) instead of the arbitrary min-id, the way real
+    corpus dedup picks the best duplicate to retain. The graph links
+    consecutive ids within 25-doc ranges (paths — only transitive
+    closure recovers the groups, same construction rationale as
+    q_dedup_clusters), simulating near-dup clusters whose members
+    differ slightly and therefore score differently.
+
+    Scale shape: star-contraction CC (O(log^2 n) rounds), one
+    size aggregate, and a per-cluster argmax window bounded by
+    cluster size — the quality score is one IEEE division of exact
+    integer character counts, so the argmax (hence the keep set) is
+    engine-portable. The oracle states the clustering declaratively
+    (range groups) and replays the same windowed selection."""
+    from ..operators.cluster import star_contraction_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw_n = F.length(F.col("text"))
+    quality = (
+        (raw_n - F.length(F.regexp_replace(F.col("text"), "[a-zA-Z]", "")))
+        .cast("double")
+        / F.greatest(raw_n, F.lit(1))
+    )
+    scored = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / _CANON_GROUP).cast("long").alias("g"),
+        quality.alias("q"),
+    )
+    wg = W.partitionBy("g").orderBy("doc_id")
+    edges = (
+        scored.withColumn("prev_id", F.lag("doc_id").over(wg))
+        .where(F.col("prev_id").isNotNull())
+        .select(F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    labels = star_contraction_components(
+        scored.select(F.col("doc_id").alias("id")), edges
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    wq = (
+        W.partitionBy("cluster_id")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .join(scored.select("doc_id", "q"), F.col("id") == F.col("doc_id"))
+        .withColumn("canonical_doc_id", F.first("doc_id").over(wq))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "canonical_doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).cast("long").alias("is_canonical"),
+        )
+    )

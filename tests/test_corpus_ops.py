@@ -177,3 +177,21 @@ def test_new_ops_plan_shapes(spark, sf_dir):
         assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in sd_nodes)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dedup_canonical_invariants(spark, sf_dir):
+    """One canonical per cluster; the canonical maximizes the quality
+    score (doc_id tie-break); sizes sum back to the corpus."""
+    rows = QUERIES["q_dedup_canonical"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        canon = [r for r in members if r["is_canonical"] == 1]
+        assert len(canon) == 1, cid
+        assert all(r["canonical_doc_id"] == canon[0]["doc_id"] for r in members)
+        assert all(r["cluster_size"] == len(members) for r in members)
+        # members of one planted range-cluster share doc_id // 25
+        assert {r["doc_id"] // 25 for r in members} == {cid // 25}
