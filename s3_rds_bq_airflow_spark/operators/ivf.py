@@ -32,8 +32,9 @@ structure.
 
 ``exact=True`` (the oracle-checked verification gear, mirroring the
 LSH exact mode in ``similarity.py``): input vectors are quantized
-ONCE to scale-3 integers (``x -> CAST(x AS DECIMAL(9,3)) * 1000`` —
-the float->decimal cast is engine-portable), centroids are exact
+ONCE to scale-3 integers (``x -> floor(x*1000 + 0.5)`` on doubles —
+identical IEEE steps on both engines; a float->DECIMAL cast is NOT
+portable, see ``_quantize_long``), centroids are exact
 integer COMPONENT SUMS of their members (cosine is scale-invariant,
 so sum ≡ mean for assignment/probing — no division anywhere), and
 every ordering key is ``dot / sqrt(norm2)`` computed from exact
@@ -69,12 +70,21 @@ _Q_SCALE = 1000  # exact mode: 3-dp quantization (see module docstring)
 
 
 def _quantize_long(vec):
-    """array<float> -> array<long>, x -> round-half-up at 3 dp x1000.
-    The float->DECIMAL cast is the engine-portable quantization step
-    (same mechanism as DECIMAL(12,8) in similarity.py); x1000 is an
-    exact decimal scale shift, the final cast drops nothing."""
+    """array<float> -> array<long>, x -> floor(x*1000 + 0.5) computed
+    on DOUBLES. Every step is a single IEEE operation on the exact
+    float->double widening, so both engines produce the identical
+    double and floor it identically — no representation ambiguity.
+
+    A float->DECIMAL(9,3) cast is NOT portable here: DuckDB rounds the
+    float's SHORTEST DECIMAL REPRESENTATION (0.31949999928474426f
+    prints as "0.3195" -> 0.320) while Spark rounds the exact binary
+    value (-> 0.319); at sf0.1 two of 128k components sat on such
+    boundaries and shifted centroid sums by +-1 (caught by the IVFPQ
+    ADC oracle, whose terms expose centroid values directly)."""
     col = vec if not isinstance(vec, str) else F.col(vec)
-    return F.transform(col, lambda x: (x.cast("decimal(9,3)") * _Q_SCALE).cast("long"))
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * _Q_SCALE + F.lit(0.5)).cast("long")
+    )
 
 
 def _dot_exact(a, b):

@@ -364,7 +364,7 @@ a{tag} AS (SELECT vec_id, cid FROM (
 
 _ORACLE_ANN_IVF = f"""
 WITH xi AS (
-    SELECT vec_id, i, CAST(CAST(x AS DECIMAL(9,3)) * 1000 AS BIGINT) AS x
+    SELECT vec_id, i, CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
     FROM (SELECT vec_id, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings) u
@@ -546,7 +546,7 @@ a{tag} AS (SELECT vec_id, m, cid FROM (
 
 _PQ_FIT_CTES = f"""
 xi AS (
-    SELECT vec_id, i, CAST(CAST(x AS DECIMAL(9,3)) * 1000 AS BIGINT) AS x
+    SELECT vec_id, i, CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
     FROM (SELECT vec_id, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings) u
@@ -655,4 +655,134 @@ def q_pq_adc_topk(spark, sf_dir):
     out = pq_adc_topk(
         enc, cb, qv, k=_TOPK, n_subspaces=_PQ_M, exact=True
     )
+    return out.select("vec_id", F.round("adc_score", 6).alias("adc_score_r6"))
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: the canonical composition of the two ANN families — coarse
+# IVF cells prune the candidate list, PQ ADC scores the survivors in
+# the compressed domain. One Lloyd round each side (distinct from
+# q_cosine_ann_ivf's 2-round fit, so the two queries exercise
+# different fit depths). Oracle = both CTE replays under v*/p*
+# prefixes sharing one quantized-elements CTE.
+# ---------------------------------------------------------------------------
+_IVFPQ_CELLS = 16
+_IVFPQ_PROBE = 4
+
+
+_ORACLE_IVFPQ = f"""
+WITH xi AS (
+    SELECT vec_id, i, CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) u
+),
+vseeds AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT vec_id FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {_IVFPQ_CELLS}) s
+),
+vc0 AS (SELECT s.cid, e.i, e.x FROM vseeds s JOIN xi e ON e.vec_id = s.vec_id),
+{_ivf_assign_ctes("v0", "vc0")},
+vs1 AS (SELECT a.cid, e.i, CAST(SUM(e.x) AS BIGINT) AS x
+        FROM av0 a JOIN xi e ON e.vec_id = a.vec_id GROUP BY a.cid, e.i),
+vc1 AS (SELECT * FROM vs1 UNION ALL
+        SELECT * FROM vc0 WHERE cid NOT IN (SELECT DISTINCT cid FROM vs1)),
+{_ivf_assign_ctes("v1", "vc1")},
+vqd AS (SELECT c.cid, SUM(CAST(q.x AS HUGEINT) * c.x) AS dot
+        FROM (SELECT i, x FROM xi WHERE vec_id = {_QUERY_VEC_ID}) q
+        JOIN vc1 c ON c.i = q.i GROUP BY c.cid),
+vprobes AS (SELECT cid FROM (
+    SELECT q.cid,
+           ROW_NUMBER() OVER (ORDER BY
+             CASE WHEN n.n2 = 0 THEN -2.0
+                  ELSE CAST(q.dot AS DOUBLE) / SQRT(CAST(n.n2 AS DOUBLE)) END DESC,
+             q.cid) AS rn
+    FROM vqd q JOIN nv1 n ON q.cid = n.cid) r
+  WHERE rn <= {_IVFPQ_PROBE}),
+cand AS (SELECT vec_id FROM av1 WHERE cid IN (SELECT cid FROM vprobes)),
+pseeds AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT vec_id FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {_PQ_K}) s
+),
+pc0 AS (SELECT (e.i - 1) // {_PQ_SUB} AS m, s.cid, e.i, e.x
+        FROM pseeds s JOIN xi e ON e.vec_id = s.vec_id),
+{_pq_assign_ctes("p0", "pc0")},
+ps1 AS (SELECT a.m, a.cid, e.i, CAST(SUM(e.x) AS BIGINT) AS x
+        FROM ap0 a JOIN xi e ON e.vec_id = a.vec_id AND (e.i - 1) // {_PQ_SUB} = a.m
+        GROUP BY a.m, a.cid, e.i),
+pc1 AS (SELECT * FROM ps1 UNION ALL
+        SELECT c.* FROM pc0 c WHERE NOT EXISTS
+          (SELECT 1 FROM ps1 WHERE ps1.m = c.m AND ps1.cid = c.cid)),
+{_pq_assign_ctes("p1", "pc1")},
+qd AS (SELECT c.m, c.cid, SUM(CAST(q.x AS HUGEINT) * c.x) AS dot
+       FROM (SELECT i, x FROM xi WHERE vec_id = {_QUERY_VEC_ID}) q
+       JOIN pc1 c ON c.i = q.i GROUP BY c.m, c.cid),
+qn AS (SELECT (i - 1) // {_PQ_SUB} AS m, SUM(CAST(x AS HUGEINT) * x) AS qn2
+       FROM xi WHERE vec_id = {_QUERY_VEC_ID} GROUP BY 1),
+lut AS (SELECT d.m, d.cid,
+               CASE WHEN n.n2 = 0 OR q.qn2 = 0 THEN -2.0
+                    ELSE CAST(d.dot AS DOUBLE)
+                         / (SQRT(CAST(n.n2 AS DOUBLE)) * SQRT(CAST(q.qn2 AS DOUBLE))) END AS term
+        FROM qd d JOIN np1 n ON d.m = n.m AND d.cid = n.cid
+                  JOIN qn q ON q.m = d.m),
+tm AS (SELECT a.vec_id,
+              {_PQ_T_COLS}
+       FROM ap1 a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+       WHERE a.vec_id IN (SELECT vec_id FROM cand)
+       GROUP BY a.vec_id)
+SELECT vec_id, ROUND({_PQ_SCORE}, 6) AS adc_score_r6
+FROM tm
+ORDER BY {_PQ_SCORE} DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+@query("q_ivfpq_topk", oracle=_ORACLE_IVFPQ)
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFPQ: coarse IVF cells (16, one Lloyd round) select the
+    n_probe=4 candidate cells; PQ ADC (4x8 codebook) scores ONLY the
+    candidates through the broadcast LUT — the standard billion-scale
+    composition where the coarse index prunes ~ (1 - n_probe/cells)
+    of the corpus and the fine stage reads 4 ints per survivor
+    instead of raw vectors. Pure operator composition: ivf_fit/
+    ivf_assign + pq_fit/pq_encode + a semi-join + pq_adc_topk, one
+    Catalyst DAG. Exact gear end-to-end, so cell selection, code
+    assignment, candidate pruning, and the fixed-order ADC ranking
+    all hash-check against the combined CTE replay."""
+    from ..operators.ivf import (
+        _ckey,
+        _dot_exact,
+        _quantize_long,
+        ivf_assign,
+        ivf_fit,
+    )
+    from ..operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+
+    cents = ivf_fit(emb, n_centroids=_IVFPQ_CELLS, n_iters=1, exact=True)
+    assigned = ivf_assign(emb, cents, exact=True)
+    q = qv.select(F.col("embedding").alias("_qvec"))
+    csim = _ckey(
+        _dot_exact("cvec", _quantize_long(F.col("_qvec"))),
+        _dot_exact("cvec", "cvec"),
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", csim.alias("__csim"))
+        .orderBy(F.col("__csim").desc(), F.col("cid"))
+        .limit(_IVFPQ_PROBE)
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(probe_cells), "cid").select("vec_id")
+
+    cb = pq_fit(emb, n_subspaces=_PQ_M, n_codes=_PQ_K, n_iters=1, exact=True)
+    enc = pq_encode(emb, cb, n_subspaces=_PQ_M, exact=True)
+    enc_cand = enc.join(cand, "vec_id", "leftsemi")
+    out = pq_adc_topk(enc_cand, cb, qv, k=_TOPK, n_subspaces=_PQ_M, exact=True)
     return out.select("vec_id", F.round("adc_score", 6).alias("adc_score_r6"))
