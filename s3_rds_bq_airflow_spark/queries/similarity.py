@@ -5,6 +5,17 @@ DuckDB via unnest + generate_subscripts (position-aligned). Exact
 decimal arithmetic makes the top-k boundary deterministic across
 engines; the residual float->decimal quantization skew (~1e-8) is
 absorbed by rounding the reported cosine to 6 decimals.
+
+Mechanism of that skew, pinned down in round 5: DuckDB casts a FLOAT
+to DECIMAL by rounding its SHORTEST DECIMAL REPRESENTATION, Spark by
+rounding the exact binary expansion — for a float32 whose shortest
+repr carries 9 significant digits, the two can disagree by 1 in the
+8th decimal of a DECIMAL(12,8). At that scale the disagreement
+perturbs dots/cosines by ~1e-8 and is absorbed by the 6-dp rounding
+everywhere in this module. At coarser scales it is NOT absorbable:
+the scale-3 integer quantization used by the IVF/PQ gears therefore
+avoids decimal casts entirely (floor(x*1000 + 0.5) on doubles —
+identical IEEE steps both engines; see operators/ivf._quantize_long).
 """
 
 from __future__ import annotations

@@ -475,3 +475,149 @@ def q_chunk_overlap(spark, sf_dir):
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
+
+
+# Exact-substring duplicate-span detection (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): find
+# token spans duplicated ACROSS documents at 13-gram granularity and
+# report each document's covered-token count — the pass that decides
+# which spans to cut before training.
+_SPAN_K = 13          # shingle width (the paper's 50 scaled to toy docs)
+_SPAN_PLANT = 20      # planted copied-prefix length
+
+
+@query(
+    "q_dup_span_detect",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split({_CHUNK_NORM_SQL}, ' ') AS tk FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, tk FROM base
+        UNION ALL
+        SELECT doc_id + 1000000,
+               list_concat(list_slice(tk, 1, {_SPAN_PLANT}),
+                           ['planted', 'tail', CAST(doc_id AS VARCHAR)])
+        FROM base WHERE doc_id % 10 = 0 AND len(tk) >= {_SPAN_PLANT + 5}
+    ),
+    grams AS (
+        SELECT doc_id, len(tk) AS n_tokens, u.p,
+               array_to_string(list_slice(tk, u.p + 1, u.p + {_SPAN_K}), ' ') AS g
+        FROM corpus, unnest(range(0, greatest(len(tk) - {_SPAN_K} + 1, 1))) u(p)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (
+        SELECT gr.doc_id, gr.n_tokens, gr.p,
+               LEAST(gr.p + {_SPAN_K} - 1, gr.n_tokens - 1) AS pend
+        FROM grams gr JOIN dupg USING (g)
+    ),
+    merged AS (
+        SELECT doc_id, n_tokens, p, pend,
+               MAX(pend) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_end
+        FROM marked
+    ),
+    cov AS (
+        SELECT doc_id, n_tokens,
+               COUNT(*) AS n_dup_grams,
+               SUM(GREATEST(pend - GREATEST(COALESCE(prev_max_end, -1), p - 1), 0))
+                   AS covered_tokens
+        FROM merged GROUP BY doc_id, n_tokens
+    )
+    SELECT c.doc_id,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(v.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(v.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(v.covered_tokens, 0) AS DOUBLE) / c.n_tokens AS dup_token_frac
+    FROM (SELECT doc_id, len(tk) AS n_tokens FROM corpus) c
+    LEFT JOIN cov v ON c.doc_id = v.doc_id
+    """,
+)
+def q_dup_span_detect(spark, sf_dir):
+    """Exact-substring duplicate-span detection across documents: a
+    13-token shingle occurring in >= 2 documents marks the interval it
+    covers; per document, overlapping marked intervals merge (running-
+    max window over sorted starts — pure integer arithmetic) and the
+    covered-token count/fraction is reported. Planted prefix copies
+    (first 20 tokens of every 10th doc re-emitted under a new id with
+    a unique tail) guarantee both engines see real cross-document
+    duplication; unplanted docs exercise the zero path.
+
+    Scale shape: one shuffle of (gram, doc) pairs with map-side
+    combine (bounded by distinct grams), a semi-join back, and a
+    per-document window bounded by document length — the same
+    no-all-pairs posture as q_contamination_13gram, extended from
+    detection to SPAN ACCOUNTING (what you'd actually cut before
+    training, per Lee et al. 2022)."""
+    from ..queries.textops import normalized_text
+
+    tk = F.split(normalized_text(), " ")
+    base = t(spark, sf_dir, "documents").select("doc_id", tk.alias("tk"))
+    planted = base.where(
+        (F.col("doc_id") % 10 == 0) & (F.size("tk") >= _SPAN_PLANT + 5)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.slice("tk", 1, _SPAN_PLANT),
+            F.array(F.lit("planted"), F.lit("tail"), F.col("doc_id").cast("string")),
+        ).alias("tk"),
+    )
+    corpus = base.unionByName(planted)
+    n = F.size("tk")
+    grams = corpus.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - _SPAN_K, F.lit(0)))
+        ).alias("p"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "p",
+        F.array_join(F.slice("tk", F.col("p") + 1, _SPAN_K), " ").alias("g"),
+    )
+    dupg = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("_nd")
+    ).where(F.col("_nd") >= 2).select("g")
+    marked = grams.join(dupg, "g").select(
+        "doc_id",
+        "n_tokens",
+        "p",
+        F.least(F.col("p") + _SPAN_K - 1, F.col("n_tokens") - 1).alias("pend"),
+    )
+    from pyspark.sql import Window as W
+
+    wprev = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    merged = marked.withColumn("prev_max_end", F.max("pend").over(wprev))
+    cov = merged.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum(
+            F.greatest(
+                F.col("pend")
+                - F.greatest(F.coalesce(F.col("prev_max_end"), F.lit(-1)), F.col("p") - 1),
+                F.lit(0),
+            )
+        ).alias("covered_tokens"),
+    )
+    counts = corpus.select("doc_id", F.size("tk").alias("n_tokens"))
+    return (
+        counts.join(cov.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+        )
+    )

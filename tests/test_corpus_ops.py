@@ -195,3 +195,24 @@ def test_dedup_canonical_invariants(spark, sf_dir):
         assert all(r["cluster_size"] == len(members) for r in members)
         # members of one planted range-cluster share doc_id // 25
         assert {r["doc_id"] // 25 for r in members} == {cid // 25}
+
+
+def test_dup_span_detect_planted_prefixes(spark, sf_dir):
+    """Every planted copy (id >= 1M) must report AT LEAST the 20
+    copied prefix tokens as covered (natural cross-doc 13-grams can
+    extend coverage); its fraction is covered/n; docs with no
+    cross-document 13-gram stay at zero."""
+    rows = QUERIES["q_dup_span_detect"](spark, sf_dir).collect()
+    planted = [r for r in rows if r["doc_id"] >= 1_000_000]
+    assert planted
+    for r in planted:
+        assert 20 <= r["covered_tokens"] <= r["n_tokens"], r
+        assert r["n_tokens"] == 23
+    originals = {r["doc_id"]: r for r in rows if r["doc_id"] < 1_000_000}
+    for r in planted:
+        orig = originals[r["doc_id"] - 1_000_000]
+        # the source of the copy is covered for at least its prefix
+        assert orig["covered_tokens"] >= 20
+    assert any(r["covered_tokens"] == 0 for r in originals.values())
+    for r in rows:
+        assert r["dup_token_frac"] == pytest.approx(r["covered_tokens"] / r["n_tokens"])
