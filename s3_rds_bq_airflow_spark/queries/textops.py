@@ -616,3 +616,39 @@ def q_curriculum_buckets(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+_HH_INV_PHI = 50
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split({NORMALIZE_SQL}, ' ')) AS item FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT item, COUNT(*) AS n, tot.total AS total
+    FROM toks, tot
+    GROUP BY item, tot.total
+    HAVING COUNT(*) * {_HH_INV_PHI} > tot.total
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters (tokens above 1/50 of total volume) via
+    the two-pass Misra-Gries operator: a zero-shuffle per-partition
+    sketch prunes candidates, an exact recount bounded by the
+    candidate set decides membership with the integer threshold
+    n*50 > total. The output is EXACT under any partitioning — the
+    sketch only prunes, never decides — which is what makes a sketch
+    family hash-checkable against a plain GROUP BY/HAVING oracle
+    (contrast q_approx_distinct/q_approx_quantiles, whose outputs ARE
+    estimates and stay rows-only). At 100 TB pass 1 reads the corpus
+    once with k counters per partition and pass 2 shuffles only rows
+    matching <= k*partitions candidate items."""
+    from ..operators.heavyhitters import heavy_hitters_two_pass
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(normalized_text(), " ")).alias("item")
+    )
+    return heavy_hitters_two_pass(toks, "item", inv_phi=_HH_INV_PHI)
