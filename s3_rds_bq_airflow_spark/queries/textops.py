@@ -652,3 +652,74 @@ def q_heavy_hitters(spark, sf_dir):
         F.explode(F.split(normalized_text(), " ")).alias("item")
     )
     return heavy_hitters_two_pass(toks, "item", inv_phi=_HH_INV_PHI)
+
+
+_FH_DIM = 64
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORMALIZE_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id,
+               list_reduce(list_transform(range(1,16), j ->
+                   CAST(strpos('0123456789abcdef', substr(md5(term), CAST(j AS INT), 1)) - 1
+                   AS BIGINT)), (acc, x) -> acc * 16 + x) % {_FH_DIM} AS bucket
+        FROM toks
+    ),
+    counts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bt GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id,
+               COUNT(*) AS nnz,
+               SUM(c * c) AS norm2,
+               MAX(struct_pack(c := c, nb := -bucket)) AS t
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(nnz AS BIGINT) AS nnz,
+           CAST(norm2 AS BIGINT) AS norm2,
+           CAST(-t.nb AS BIGINT) AS top_bucket,
+           CAST(t.c AS BIGINT) AS top_count
+    FROM agg
+    """,
+)
+def q_feature_hashing(spark, sf_dir):
+    """Feature-hashing document vectors (the hashing trick /
+    HashingTF equivalent, MLlib-free): every token maps to one of 64
+    buckets via the engine-portable 60-bit md5 hash, giving each
+    document a sparse integer TF vector; declared outputs are the
+    vector's exact integer summaries — nnz, squared L2 norm, and the
+    argmax bucket (count DESC, bucket ASC tie-break via a
+    lexicographic struct-max — one aggregation, no second window
+    pass). The driver canonicalizer rejects array cells, which is why
+    the summaries, not the vector, are the declared columns; the
+    vector itself is the (doc_id, bucket, c) intermediate.
+
+    Scale shape: explode -> one partial-aggregated (doc, bucket)
+    shuffle (bounded by 64 buckets/doc) -> per-doc aggregate. The
+    production gear would swap md5 for xxhash64 — same plan, same
+    gearing convention as operators/dedup."""
+    from ..operators.dedup import md5_hash60
+
+    bt = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("term"))
+        .select("doc_id", (md5_hash60(F.col("term")) % _FH_DIM).alias("bucket"))
+    )
+    counts = bt.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.col("c") * F.col("c")).alias("norm2"),
+        F.max(F.struct(F.col("c"), (-F.col("bucket")).alias("nb"))).alias("t"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("nnz").cast("long").alias("nnz"),
+        F.col("norm2").cast("long").alias("norm2"),
+        (-F.col("t.nb")).cast("long").alias("top_bucket"),
+        F.col("t.c").cast("long").alias("top_count"),
+    )
