@@ -77,7 +77,10 @@ def heavy_hitters_two_pass(
         k = 2 * inv_phi
     if k < inv_phi:
         raise ValueError(f"k={k} breaks the MG superset guarantee for inv_phi={inv_phi}")
-    items = df.select(F.col(item_col).alias("item"))
+    # cast to string up front: the sketch pass ships items through an
+    # Arrow `item string` schema, and the recount must group the SAME
+    # representation the sketch saw
+    items = df.select(F.col(item_col).cast("string").alias("item"))
     cands = (
         items.mapInPandas(_mg_candidates(k), "item string")
         .distinct()
