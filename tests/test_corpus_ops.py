@@ -216,3 +216,22 @@ def test_dup_span_detect_planted_prefixes(spark, sf_dir):
     assert any(r["covered_tokens"] == 0 for r in originals.values())
     for r in rows:
         assert r["dup_token_frac"] == pytest.approx(r["covered_tokens"] / r["n_tokens"])
+
+
+def test_triangle_counts_planted_structure(spark, sf_dir):
+    """Each full 10-doc range contributes exactly one triangle over
+    its rank-1/2/3 members; everything else is on the zero path."""
+    rows = {r["doc_id"]: r["n_triangles"] for r in
+            QUERIES["q_triangle_counts"](spark, sf_dir).collect()}
+    doc_ids = sorted(rows)
+    by_g: dict[int, list] = {}
+    for d in doc_ids:
+        by_g.setdefault(d // 10, []).append(d)
+    for g, members in by_g.items():
+        if len(members) >= 3:
+            tri_nodes = members[:3]
+            for d in members:
+                assert rows[d] == (1 if d in tri_nodes else 0), (g, d)
+        else:
+            for d in members:
+                assert rows[d] == 0
