@@ -235,3 +235,17 @@ def test_triangle_counts_planted_structure(spark, sf_dir):
         else:
             for d in members:
                 assert rows[d] == 0
+
+
+def test_round5_shuffle_budgets(spark, sf_dir):
+    """Exchange-count ceilings for the round-5 additions — the pins
+    that keep their scale posture from regressing: tfidf = tf agg +
+    df agg + join + per-doc window; feature hashing = (doc,bucket)
+    agg + per-doc agg; heavy hitters = one DATA-BEARING shuffle (the
+    candidate recount) plus two config-sized exchanges (candidate
+    distinct, 1-row total) — the MG pass itself must add none."""
+    from s3_rds_bq_airflow_spark.plans.inspect import assert_max_shuffles
+
+    assert_max_shuffles(QUERIES["q_tfidf_topterms"](spark, sf_dir), 5)
+    assert_max_shuffles(QUERIES["q_feature_hashing"](spark, sf_dir), 2)
+    assert_max_shuffles(QUERIES["q_heavy_hitters"](spark, sf_dir), 3)
