@@ -621,3 +621,125 @@ def q_dup_span_detect(spark, sf_dir):
             ).alias("dup_token_frac"),
         )
     )
+
+
+# Inline C4-keep fragment for pipeline composition (mirrors
+# q_c4_quality_gate's conjunction; shared constants imported so the
+# two can't drift).
+def _c4_keep_sql() -> str:
+    from .textops import (
+        _C4_MAX_TOKENS,
+        _C4_MEAN_LEN_HI,
+        _C4_MEAN_LEN_LO,
+        _C4_MIN_STOPWORD_HITS,
+        _C4_MIN_TOKENS,
+        _C4_STOPWORDS,
+        _occurrences_sql,
+    )
+
+    stop = " + ".join(
+        _occurrences_sql(f"(' ' || {_CHUNK_NORM_SQL} || ' ')", w) for w in _C4_STOPWORDS
+    )
+    nt = f"LEN(string_split({_CHUNK_NORM_SQL}, ' '))"
+    mean = f"CAST(LENGTH({_CHUNK_NORM_SQL}) - ({nt} - 1) AS DOUBLE) / {nt}"
+    return (
+        f"({nt} >= {_C4_MIN_TOKENS} AND {nt} <= {_C4_MAX_TOKENS}"
+        f" AND {mean} >= {_C4_MEAN_LEN_LO} AND {mean} <= {_C4_MEAN_LEN_HI}"
+        f" AND strpos({_CHUNK_NORM_SQL}, chr(123)) = 0"
+        f" AND strpos({_CHUNK_NORM_SQL}, 'lorem ipsum') = 0"
+        f" AND {stop} >= {_C4_MIN_STOPWORD_HITS})"
+    )
+
+
+def _c4_keep_expr():
+    from .textops import (
+        _C4_MAX_TOKENS,
+        _C4_MEAN_LEN_HI,
+        _C4_MEAN_LEN_LO,
+        _C4_MIN_STOPWORD_HITS,
+        _C4_MIN_TOKENS,
+        _C4_STOPWORDS,
+        _occurrences,
+        normalized_text,
+    )
+
+    norm = normalized_text()
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n_tokens = F.size(F.split(norm, " "))
+    mean_tok = (F.length(norm) - (n_tokens - F.lit(1))).cast("double") / n_tokens
+    stop_hits = None
+    for w in _C4_STOPWORDS:
+        c = _occurrences(padded, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return (
+        (n_tokens >= _C4_MIN_TOKENS)
+        & (n_tokens <= _C4_MAX_TOKENS)
+        & (mean_tok >= _C4_MEAN_LEN_LO)
+        & (mean_tok <= _C4_MEAN_LEN_HI)
+        & (F.instr(norm, "{") == 0)
+        & (F.instr(norm, "lorem ipsum") == 0)
+        & (stop_hits >= _C4_MIN_STOPWORD_HITS)
+    )
+
+
+def _pipeline_v2_oracle() -> str:
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, lang, string_split({_CHUNK_NORM_SQL}, ' ') AS tk
+        FROM documents
+        WHERE {_c4_keep_sql()}
+    ),
+    chunks AS (
+        SELECT doc_id, lang,
+               MD5(array_to_string(
+                   list_slice(tk, u.s + 1, u.s + {_CHUNK_SIZE}), ' ')) AS chunk_hash,
+               LEN(list_slice(tk, u.s + 1, u.s + {_CHUNK_SIZE})) AS n_chunk_tokens
+        FROM kept, unnest(range(0, len(tk), {_CHUNK_STRIDE})) u(s)
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs_kept,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk_hash) AS n_distinct_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
+    FROM chunks
+    GROUP BY lang
+    """
+
+
+@query("q_corpus_pipeline_v2", oracle=_pipeline_v2_oracle())
+def q_corpus_pipeline_v2(spark, sf_dir):
+    """Round-5 corpus pipeline: C4 quality gate -> 32/24 sliding-
+    window chunking -> per-language chunk manifest (doc/chunk counts,
+    distinct chunk hashes — the dedup-ready signal — and total chunk
+    tokens). One Catalyst DAG: the gate fuses into the scan (zero
+    shuffle), chunking is a per-row array explode, and the only
+    shuffle is the final config-sized per-language aggregate — a
+    100 TB corpus passes through with one data-bearing aggregation.
+    Complements q_corpus_pipeline (quality->dedup->mix->pack) with
+    the round-5 gate + chunk stages; shared constants and the keep
+    conjunction are imported from the standalone queries so the
+    composed and standalone forms cannot drift."""
+    from .textops import normalized_text
+
+    docs = t(spark, sf_dir, "documents").where(_c4_keep_expr())
+    tk = F.split(normalized_text(), " ")
+    n = F.size(tk)
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        tk.alias("_tk"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))).alias("s"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.md5(F.array_join(F.slice("_tk", F.col("s") + 1, _CHUNK_SIZE), " ")).alias(
+            "chunk_hash"
+        ),
+        F.size(F.slice("_tk", F.col("s") + 1, _CHUNK_SIZE)).alias("n_chunk_tokens"),
+    )
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("total_chunk_tokens"),
+    )

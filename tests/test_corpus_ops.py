@@ -249,3 +249,35 @@ def test_round5_shuffle_budgets(spark, sf_dir):
     assert_max_shuffles(QUERIES["q_tfidf_topterms"](spark, sf_dir), 5)
     assert_max_shuffles(QUERIES["q_feature_hashing"](spark, sf_dir), 2)
     assert_max_shuffles(QUERIES["q_heavy_hitters"](spark, sf_dir), 3)
+
+
+def test_pipeline_v2_consistent_with_standalone_stages(spark, sf_dir):
+    """The composed pipeline must agree with its standalone stages:
+    docs kept per language == C4 gate keeps, and chunk totals == the
+    chunk manifest restricted to kept docs."""
+    kept_ids = {
+        r["doc_id"]
+        for r in QUERIES["q_c4_quality_gate"](spark, sf_dir).collect()
+        if r["keep"] == 1
+    }
+    langs = {
+        d["doc_id"]: d["lang"]
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    chunks = [
+        r for r in QUERIES["q_chunk_overlap"](spark, sf_dir).collect()
+        if r["doc_id"] in kept_ids
+    ]
+    expect: dict[str, dict] = {}
+    for r in chunks:
+        lang = langs[r["doc_id"]]
+        e = expect.setdefault(lang, {"docs": set(), "chunks": 0, "tokens": 0})
+        e["docs"].add(r["doc_id"])
+        e["chunks"] += 1
+        e["tokens"] += r["n_chunk_tokens"]
+    got = {r["lang"]: r for r in QUERIES["q_corpus_pipeline_v2"](spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for lang, e in expect.items():
+        assert got[lang]["n_docs_kept"] == len(e["docs"])
+        assert got[lang]["n_chunks"] == e["chunks"]
+        assert got[lang]["total_chunk_tokens"] == e["tokens"]
