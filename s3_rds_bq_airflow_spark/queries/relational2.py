@@ -920,3 +920,30 @@ def q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name
+         LIMIT 2) t
+"""
+
+
+@query("q_lateral_topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery (per-nation top-2 customers by
+    account balance) — the remaining modern-ANSI join form the SQL
+    surface hadn't exercised; like q_sql_surface, the IDENTICAL SQL
+    text runs on both engines. Catalyst decorrelates the lateral
+    LIMIT into a partitioned window top-k (no per-row re-execution),
+    so the plan is the same rank-filter shape as q_topk_customers —
+    pinned by the catalog-wide no-cartesian guard. Decimal balances
+    cast to DOUBLE in-query (correctly rounded from the same decimal
+    on both engines); ties broken by customer name."""
+    from ..io.tables import register_views
+
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
