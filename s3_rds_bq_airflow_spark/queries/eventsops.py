@@ -238,3 +238,36 @@ def q_event_rate_per_user(spark, sf_dir):
             ).alias("events_per_hour"),
         )
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` turns the props JSON into a variant value and
+    ``variant_get`` path-extracts with a target type — the
+    binary-encoded, shredding-ready representation that replaces
+    per-query string re-parsing at scale (parse once, extract many;
+    columnar shredded storage when written). Aggregates per event
+    type verify the extraction against DuckDB's json_extract on the
+    same paths. All-integer outputs, no float risk."""
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
