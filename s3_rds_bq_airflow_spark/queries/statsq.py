@@ -381,3 +381,83 @@ def q_nearest_supplier_bucketed(spark, sf_dir):
     ).select("c_custkey", "nearest_s_suppkey", "dist2").withColumnRenamed(
         "nearest_s_suppkey", "nearest_suppkey"
     )
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT value, CAST(event_type = 'click' AS BIGINT) AS is1
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    grouped AS (
+        SELECT value, SUM(is1) AS d1, SUM(1 - is1) AS d2
+        FROM tagged GROUP BY value
+    ),
+    cum AS (
+        SELECT value,
+               SUM(d1) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(d2) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        FROM grouped
+    ),
+    tot AS (SELECT MAX(c1) AS n1, MAX(c2) AS n2 FROM cum)
+    SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(c1 * tot.n2 - c2 * tot.n1)) AS BIGINT) AS ks_num,
+           ROUND(CAST(MAX(ABS(c1 * tot.n2 - c2 * tot.n1)) AS DOUBLE)
+                 / (tot.n1 * tot.n2), 6) AS ks_r6
+    FROM cum, tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    'click' and 'view' value distributions — the data-quality monitor
+    that detects distribution shift between corpus slices or pipeline
+    runs. Computed EXACTLY in integer arithmetic: KS = max |F1-F2| =
+    max |c1*n2 - c2*n1| / (n1*n2) over the merged support, where the
+    cumulative counts c1/c2 are running integer sums over value-
+    grouped rows — no floating ECDF anywhere; the single reported
+    double is one final correctly-rounded division. Ties collapse via
+    the value groupBy, so the cumulative is well-defined at every
+    support point.
+
+    Scale note: the exact statistic needs a total order over distinct
+    values — fine for the per-slice cardinalities monitors compare
+    (and Spark range-partitions the sort); at extreme cardinality the
+    standard move is a binned ECDF over approx-percentile boundaries
+    (same shape as operators/curriculum's range gear), trading the
+    exact max for a bin-width error bound."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("is1"),
+        )
+    )
+    grouped = ev.groupBy("value").agg(
+        F.sum("is1").alias("d1"), F.sum(F.lit(1) - F.col("is1")).alias("d2")
+    )
+    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = grouped.select(
+        F.sum("d1").over(wcum).alias("c1"), F.sum("d2").over(wcum).alias("c2")
+    )
+    tot = cum.agg(F.max("c1").alias("n1"), F.max("c2").alias("n2"))
+    num = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(num).alias("ks_num"))
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            F.round(
+                F.col("ks_num").cast("double") / (F.col("n1") * F.col("n2")), 6
+            ).alias("ks_r6"),
+        )
+    )
