@@ -461,3 +461,95 @@ def q_ks_drift(spark, sf_dir):
             ).alias("ks_r6"),
         )
     )
+
+
+@query(
+    "q_chi2_drift",
+    oracle="""
+    WITH half AS (
+        SELECT event_type,
+               CAST(event_id % 2 = 0 AS BIGINT) AS is1
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type,
+               SUM(is1) AS o1,
+               SUM(1 - is1) AS o2
+        FROM half GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(o1) AS BIGINT) AS n1, CAST(SUM(o2) AS BIGINT) AS n2,
+                   CAST(COUNT(*) AS BIGINT) AS n_cats
+            FROM cells),
+    packed AS (
+        SELECT list_sort(list(struct_pack(
+                   et := event_type,
+                   o1 := CAST(o1 AS BIGINT),
+                   o2 := CAST(o2 AS BIGINT)))) AS cs
+        FROM cells
+    )
+    SELECT tot.n1, tot.n2, tot.n_cats,
+           CAST(tot.n_cats - 1 AS BIGINT) AS dof,
+           ROUND(list_reduce(
+               list_transform(packed.cs, c ->
+                   CAST((c.o1 * (tot.n1 + tot.n2) - (c.o1 + c.o2) * tot.n1) AS DOUBLE)
+                   * (c.o1 * (tot.n1 + tot.n2) - (c.o1 + c.o2) * tot.n1)
+                   / ((c.o1 + c.o2) * CAST(tot.n1 AS DOUBLE) * (tot.n1 + tot.n2))
+                   +
+                   CAST((c.o2 * (tot.n1 + tot.n2) - (c.o1 + c.o2) * tot.n2) AS DOUBLE)
+                   * (c.o2 * (tot.n1 + tot.n2) - (c.o1 + c.o2) * tot.n2)
+                   / ((c.o1 + c.o2) * CAST(tot.n2 AS DOUBLE) * (tot.n1 + tot.n2))),
+               (acc, x) -> acc + x), 6) AS chi2_r6
+    FROM packed, tot
+    """,
+)
+def q_chi2_drift(spark, sf_dir):
+    """Chi-square homogeneity drift between two event slices (even vs
+    odd event ids) over the event-type distribution — the categorical
+    companion to q_ks_drift. Per-cell terms use the integer-exact
+    form ((o*N - rowtot*coltot)^2) / (rowtot*coltot*N): numerator and
+    denominator are exact integer products cast once to double, so
+    each term is a fixed IEEE expression; the cell terms are then
+    summed by an ORDERED fold over the category-sorted struct array
+    (F.aggregate / list_reduce) — never a float SUM aggregate, whose
+    addition order is partitioning-dependent. Same fixed-order-sum
+    discipline as the PQ ADC ranking key.
+
+    Scale: one config-sized aggregate (cells = distinct categories),
+    a 1-row pack, and arithmetic — nothing grows with row count
+    except the first groupBy's map-side-combined shuffle."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 2 == 0).cast("long").alias("is1")
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.sum("is1").alias("o1"), F.sum(F.lit(1) - F.col("is1")).alias("o2")
+    )
+    packed = cells.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("event_type").alias("et"), "o1", "o2"))
+        ).alias("cs"),
+        F.sum("o1").alias("n1"),
+        F.sum("o2").alias("n2"),
+        F.count(F.lit(1)).alias("n_cats"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    N = n1 + n2
+
+    def cell_term(c):
+        rt = c["o1"] + c["o2"]
+        d1 = c["o1"] * N - rt * n1
+        d2 = c["o2"] * N - rt * n2
+        return (
+            d1.cast("double") * d1 / (rt * n1.cast("double") * N)
+            + d2.cast("double") * d2 / (rt * n2.cast("double") * N)
+        )
+
+    chi2 = F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda acc, c: acc + cell_term(c)
+    )
+    return packed.select(
+        "n1",
+        "n2",
+        "n_cats",
+        (F.col("n_cats") - 1).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2_r6"),
+    )
