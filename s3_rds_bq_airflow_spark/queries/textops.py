@@ -723,3 +723,157 @@ def q_feature_hashing(spark, sf_dir):
         (-F.col("t.nb")).cast("long").alias("top_bucket"),
         F.col("t.c").cast("long").alias("top_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (Sennrich et al. 2016): each round
+# counts adjacent token pairs across the corpus, picks the most
+# frequent pair (count DESC, pattern ASC tie-break), and merges it
+# everywhere. Token boundaries ride a separator-wrapped string
+# representation: token sequence [a, b, c] becomes US+a+US US+b+US
+# US+c+US concatenated (US = \x1f, absent from the corpus), so
+# "merge pair (a,b)" is literally replace("USaUSUSbUS" -> "USabUS")
+# — and because replace() is non-overlapping left-to-right in BOTH
+# engines, the merge semantics (e.g. "b b b" + pair (b,b) -> "bb b")
+# are identical by construction rather than by re-implementation.
+# ---------------------------------------------------------------------------
+_US = "\x1f"
+_BPE_TOPK = 10
+
+
+def _bpe_sep_sql() -> str:
+    return "chr(31)"
+
+
+def _bpe_round_sql(win: str, tag: str) -> str:
+    """CTE pair: t{tag} = the round's winning pair pattern, w{tag} =
+    the corpus with that pair merged."""
+    s = _bpe_sep_sql()
+    return f"""
+p{tag} AS (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {s} || tk[i] || {s} || {s} || tk[i + 1] || {s})) AS pat
+    FROM (SELECT string_split(substr(s, 2, length(s) - 2), {s} || {s}) AS tk
+          FROM {win}) t
+),
+t{tag} AS (SELECT pat, COUNT(*) AS n FROM p{tag} GROUP BY pat
+           ORDER BY n DESC, pat LIMIT 1),
+w{tag} AS (SELECT replace(s, t{tag}.pat,
+                          replace(t{tag}.pat, {s} || {s}, '')) AS s
+           FROM {win}, t{tag})"""
+
+
+_ORACLE_BPE = f"""
+WITH words AS (
+    SELECT unnest(string_split({NORMALIZE_SQL}, ' ')) AS w FROM documents
+),
+w0 AS (
+    SELECT {_bpe_sep_sql()} || array_to_string(string_split(w, ''),
+               {_bpe_sep_sql()} || {_bpe_sep_sql()}) || {_bpe_sep_sql()} AS s
+    FROM words
+),
+{_bpe_round_sql("w0", "1")},
+{_bpe_round_sql("w1", "2")},
+toks AS (
+    SELECT unnest(string_split(substr(s, 2, length(s) - 2),
+                  {_bpe_sep_sql()} || {_bpe_sep_sql()})) AS token
+    FROM w2
+),
+ranked AS (
+    SELECT token, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+    FROM toks GROUP BY token
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n,
+       (SELECT replace(pat, {_bpe_sep_sql()}, '') FROM t1) AS merge1,
+       (SELECT replace(pat, {_bpe_sep_sql()}, '') FROM t2) AS merge2
+FROM ranked WHERE rank <= {_BPE_TOPK}
+"""
+
+
+def _bpe_tokens(s_col):
+    return F.split(s_col.substr(F.lit(2), F.length(s_col) - 2), _US + _US)
+
+
+def _bpe_top_pair(words):
+    """1-row frame (pat, repl): the corpus's most frequent adjacent
+    token pair as its wrapped pattern + merged replacement."""
+    tk = _bpe_tokens(F.col("s"))
+    pats = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat(
+                F.lit(_US), F.element_at(tk, i), F.lit(_US + _US),
+                F.element_at(tk, i + 1), F.lit(_US),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pats).alias("pat"))
+        .groupBy("pat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pat"))
+        .limit(1)
+        .select("pat", F.replace(F.col("pat"), F.lit(_US + _US), F.lit("")).alias("repl"))
+    )
+
+
+@query("q_bpe_merges", oracle=_ORACLE_BPE)
+def q_bpe_merges(spark, sf_dir):
+    """Two rounds of distributed BPE merge learning (Sennrich et al.
+    2016) over the corpus's character stream: count adjacent token
+    pairs (one map-side-combined shuffle bounded by the pair
+    vocabulary), pick the argmax pair (count DESC, pattern ASC),
+    broadcast it, merge everywhere with a literal string replace —
+    repeat. Declared output: the top-10 resulting tokens with the two
+    learned merges as constant columns. The separator-wrapped string
+    representation makes the merge a plain replace() whose
+    non-overlapping left-to-right semantics are identical in both
+    engines BY CONSTRUCTION — no fold re-implementation to drift.
+
+    Scale: each round = one pair-count aggregate + a broadcast of ONE
+    pattern + a per-row replace; N merge rounds = N such passes, the
+    standard distributed-BPE shape (the pair-count table, not the
+    corpus, is the shuffled data)."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
+        .select(
+            F.concat(
+                F.lit(_US),
+                F.concat_ws(_US + _US, F.split(F.col("w"), "")),
+                F.lit(_US),
+            ).alias("s")
+        )
+    )
+    merges = []
+    for _ in range(2):
+        top = _bpe_top_pair(words)
+        merges.append(top)
+        words = words.crossJoin(F.broadcast(top)).select(
+            F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s")
+        )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        words.select(F.explode(_bpe_tokens(F.col("s"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("n"), F.asc("token"))).cast("long"),
+        )
+        .where(F.col("rank") <= _BPE_TOPK)
+    )
+    m1 = merges[0].select(
+        F.replace(F.col("pat"), F.lit(_US), F.lit("")).alias("merge1")
+    )
+    m2 = merges[1].select(
+        F.replace(F.col("pat"), F.lit(_US), F.lit("")).alias("merge2")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select("rank", "token", "n", "merge1", "merge2")
+    )

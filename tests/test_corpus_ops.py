@@ -281,3 +281,37 @@ def test_pipeline_v2_consistent_with_standalone_stages(spark, sf_dir):
         assert got[lang]["n_docs_kept"] == len(e["docs"])
         assert got[lang]["n_chunks"] == e["chunks"]
         assert got[lang]["total_chunk_tokens"] == e["tokens"]
+
+
+def test_bpe_merge_semantics_and_ranking(spark, sf_dir):
+    """The separator-wrap makes merging (b,b) over 'bbb' yield
+    [bb, b] (left-to-right non-overlapping) — the defining BPE edge
+    case; plus ranking invariants on the declared output."""
+    from pyspark.sql import functions as F
+    from s3_rds_bq_airflow_spark.queries.textops import (
+        _US,
+        _bpe_tokens,
+        _bpe_top_pair,
+    )
+
+    w = spark.createDataFrame([("bbb",)], "w string").select(
+        F.concat(
+            F.lit(_US), F.concat_ws(_US + _US, F.split(F.col("w"), "")), F.lit(_US)
+        ).alias("s")
+    )
+    top = _bpe_top_pair(w).collect()[0]
+    assert top["repl"] == _US + "bb" + _US
+    merged = w.crossJoin(
+        F.broadcast(spark.createDataFrame([(top["pat"], top["repl"])], "pat string, repl string"))
+    ).select(F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s"))
+    toks = merged.select(_bpe_tokens(F.col("s")).alias("t")).collect()[0]["t"]
+    assert toks == ["bb", "b"]
+
+    rows = QUERIES["q_bpe_merges"](spark, sf_dir).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, 11)
+    )
+    ns = [r["n"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ns == sorted(ns, reverse=True)
+    m1, m2 = rows[0]["merge1"], rows[0]["merge2"]
+    assert len(m1) >= 2 and len(m2) >= 2 and m1 != m2
