@@ -877,3 +877,57 @@ def q_bpe_merges(spark, sf_dir):
         .crossJoin(F.broadcast(m2))
         .select("rank", "token", "n", "merge1", "merge2")
     )
+
+
+@query(
+    "q_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORMALIZE_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types, sum_c2,
+           CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_tokens * n_tokens - sum_c2 AS DOUBLE)
+               / (n_tokens * n_tokens) AS gini_diversity
+    FROM agg
+    """,
+)
+def q_lexical_diversity(spark, sf_dir):
+    """Per-document lexical diversity: type-token ratio and the
+    Gini-Simpson diversity index 1 - sum(p_t^2) — the standard
+    repetitiveness signals next to the Gopher gate's n-gram rules.
+    Both statistics stay EXACT integers (token counts, squared-count
+    sums) until one final IEEE division each: Gini-Simpson is
+    computed as (n^2 - sum c_t^2)/n^2 rather than from floating
+    probabilities, so no float accumulation order exists to diverge.
+    Zero-risk numerics, one map-side-combined (doc, term) shuffle +
+    a per-doc aggregate — the q_feature_hashing plan shape."""
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    n = F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "sum_c2",
+        (F.col("n_types").cast("double") / n).alias("type_token_ratio"),
+        ((n * n - F.col("sum_c2")).cast("double") / (n * n)).alias("gini_diversity"),
+    )
