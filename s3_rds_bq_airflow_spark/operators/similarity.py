@@ -196,9 +196,14 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = True,
+    exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """k-NN similarity JOIN: for each probe vector, its k nearest
-    corpus neighbors by cosine (self-pairs excluded).
+    corpus neighbors by cosine (self-pairs excluded;
+    ``exclude_pairs`` — a (probe_id, excluded_id) frame — removes
+    additional known-positive pairs BEFORE ranking, the hard-negative
+    mining contract: ranks are over the eligible set, not filtered
+    after the fact).
 
     The probe set broadcasts; the corpus scan stays put (no shuffle
     of the big side) and each partition scores its rows against all
@@ -214,13 +219,26 @@ def knn_join(
     )
     cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_pvec"))
     w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    scored = (
         embeddings.crossJoin(p)
         .where(F.col(id_col) != F.col("probe_id"))
         .select(
             "probe_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")
         )
-        .withColumn("rn", F.row_number().over(w))
+    )
+    if exclude_pairs is not None:
+        scored = scored.join(
+            F.broadcast(
+                exclude_pairs.select(
+                    F.col(exclude_pairs.columns[0]).alias("probe_id"),
+                    F.col(exclude_pairs.columns[1]).alias("neighbor_id"),
+                )
+            ),
+            ["probe_id", "neighbor_id"],
+            "left_anti",
+        )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

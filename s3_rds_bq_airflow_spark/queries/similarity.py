@@ -797,3 +797,79 @@ def q_ivfpq_topk(spark, sf_dir):
     enc_cand = enc.join(cand, "vec_id", "leftsemi")
     out = pq_adc_topk(enc_cand, cb, qv, k=_TOPK, n_subspaces=_PQ_M, exact=True)
     return out.select("vec_id", F.round("adc_score", 6).alias("adc_score_r6"))
+
+
+_ORACLE_HARD_NEG = """
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * CAST(1.0001 AS DOUBLE) AS FLOAT))
+    FROM embeddings WHERE vec_id % 29 = 0
+),
+elems AS (
+    SELECT vec_id, CAST(x AS DECIMAL(12,8)) AS x, i
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM corpus) u
+),
+probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 29 = 0),
+dots AS (
+    SELECT p.probe_id, e.vec_id,
+           CAST(SUM(e.x * q.x) AS DOUBLE) AS dot
+    FROM probes p
+      JOIN elems q ON q.vec_id = p.probe_id
+      JOIN elems e ON e.i = q.i
+    GROUP BY 1, 2
+),
+norms AS (
+    SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS n2 FROM elems GROUP BY 1
+),
+scored AS (
+    SELECT d.probe_id, d.vec_id AS neighbor_id,
+           d.dot / (SQRT(ne.n2) * SQRT(np.n2)) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                              ORDER BY d.dot / (SQRT(ne.n2) * SQRT(np.n2)) DESC,
+                                       d.vec_id) AS rn
+    FROM dots d
+      JOIN norms ne ON d.vec_id = ne.vec_id
+      JOIN norms np ON d.probe_id = np.vec_id
+    WHERE d.vec_id <> d.probe_id
+      AND d.vec_id <> d.probe_id + 1000000
+)
+SELECT probe_id, neighbor_id, ROUND(cosine, 6) AS cosine_r6
+FROM scored WHERE rn <= 2
+"""
+
+
+@query("q_hard_negatives", oracle=_ORACLE_HARD_NEG)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor (the planted-pair originals), the top-2 most similar
+    corpus vectors EXCLUDING its known positive (the planted twin) —
+    exactly the negatives a contrastive loss wants, mined by
+    similarity rank over the eligible set (the exclusion happens
+    BEFORE ranking, so a positive can never crowd a negative out of
+    the top-k). Composes knn_join's broadcast-probe scan with its
+    exclude_pairs contract; exact decimal dots keep ranks and the
+    reported cosine hash-tight."""
+    from ..operators.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    probes = emb.where(F.col("vec_id") % 29 == 0)
+    positives = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        (F.col("vec_id") + 1000000).alias("excluded_id"),
+    )
+    out = knn_join(corpus, probes, 2, exact=True, exclude_pairs=positives)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r6")
+    )
