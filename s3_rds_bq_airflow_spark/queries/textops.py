@@ -931,3 +931,102 @@ def q_lexical_diversity(spark, sf_dir):
         (F.col("n_types").cast("double") / n).alias("type_token_ratio"),
         ((n * n - F.col("sum_c2")).cast("double") / (n * n)).alias("gini_diversity"),
     )
+
+
+_COLLOC_MIN_N = 5
+_COLLOC_TOPK = 25
+
+
+@query(
+    "q_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
+    ),
+    uni AS (
+        SELECT t.term, COUNT(*) AS c
+        FROM (SELECT unnest(tk) AS term FROM toks) t
+        GROUP BY t.term
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    big AS (
+        SELECT g.a, g.b, COUNT(*) AS c_ab
+        FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                     i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS g
+              FROM toks) t(g)
+        GROUP BY g.a, g.b
+    ),
+    scored AS (
+        SELECT big.a, big.b,
+               CAST(big.c_ab AS BIGINT) AS c_ab,
+               CAST(ua.c AS BIGINT) AS c_a,
+               CAST(ub.c AS BIGINT) AS c_b,
+               CAST(big.c_ab AS DOUBLE) * tot.n / (ua.c * ub.c) AS lift
+        FROM big JOIN uni ua ON big.a = ua.term
+                 JOIN uni ub ON big.b = ub.term, tot
+        WHERE big.c_ab >= {_COLLOC_MIN_N}
+    )
+    SELECT a, b, c_ab, c_a, c_b, ROUND(lift, 6) AS lift_r6
+    FROM scored
+    ORDER BY lift DESC, a, b
+    LIMIT {_COLLOC_TOPK}
+    """,
+)
+def q_collocations(spark, sf_dir):
+    """Bigram collocation mining: the top-25 adjacent token pairs by
+    LIFT c_ab*N/(c_a*c_b) — the PMI ranking without the log (lift and
+    PMI are monotone in each other, but lift is one IEEE division of
+    exact integer products while log() outputs are 1-ulp
+    engine-dependent; same ln-avoidance rationale as
+    q_tfidf_topterms). Min-count floor keeps rare-pair noise out, the
+    classic collocation-extraction guard. Shuffles: bigram counts +
+    unigram counts (both map-side-combined, bounded by vocabulary),
+    two vocabulary-sized joins, TakeOrdered top-k."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalized_text(), " ").alias("tk")
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    tk = F.col("tk")
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("a"), F.element_at(tk, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = (
+        toks.select(F.explode(pairs).alias("g"))
+        .select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _COLLOC_MIN_N)
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            (
+                F.col("c_ab").cast("double") * F.col("n") / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
+        .limit(_COLLOC_TOPK)
+        .select("a", "b", "c_ab", "c_a", "c_b", F.round("lift", 6).alias("lift_r6"))
+    )
