@@ -743,3 +743,93 @@ def q_corpus_pipeline_v2(spark, sf_dir):
         F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
         F.sum("n_chunk_tokens").cast("long").alias("total_chunk_tokens"),
     )
+
+
+@query(
+    "q_dedup_apply",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 13 = 0
+    ),
+    flagged AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY MD5({_CHUNK_NORM_SQL}) ORDER BY doc_id
+               ) AS rn,
+               {_c4_keep_sql()} AS keep_q,
+               LEN(string_split({_CHUNK_NORM_SQL}, ' ')) AS n_tokens
+        FROM corpus
+    ),
+    labeled AS (
+        SELECT lang, n_tokens,
+               CASE WHEN rn > 1 THEN 'dropped_duplicate'
+                    WHEN NOT keep_q THEN 'dropped_quality'
+                    ELSE 'kept' END AS status
+        FROM flagged
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN status = 'dropped_duplicate' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_dup,
+           CAST(SUM(CASE WHEN status = 'dropped_quality' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_quality,
+           CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN status = 'kept' THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM labeled
+    GROUP BY lang
+    """,
+)
+def q_dedup_apply(spark, sf_dir):
+    """The APPLY side of corpus dedup: materialize the retention
+    manifest after exact dedup (keep the lowest id per content
+    fingerprint — planted twins at id+1M guarantee real drops) and
+    the C4 quality gate, with dedup taking precedence so a document
+    is counted dropped exactly once. Per-language accounting of what
+    survives (docs + tokens) — the numbers a training-data pipeline
+    reports after every dedup run. One fingerprint window + per-row
+    gate expressions + a config-sized aggregate; the keep rule and
+    constants are shared with q_c4_quality_gate so the manifest can't
+    drift from the standalone gate."""
+    from ..operators.dedup import normalize_text
+    from ..queries.textops import normalized_text
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    flagged = corpus.select(
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        _c4_keep_expr().alias("keep_q"),
+        F.size(F.split(normalized_text(), " ")).alias("n_tokens"),
+    )
+    status = (
+        F.when(F.col("rn") > 1, "dropped_duplicate")
+        .when(~F.col("keep_q"), "dropped_quality")
+        .otherwise("kept")
+    )
+    labeled = flagged.select("lang", "n_tokens", status.alias("status"))
+    return labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("status") == "dropped_duplicate").cast("long")).alias(
+            "n_dropped_dup"
+        ),
+        F.sum((F.col("status") == "dropped_quality").cast("long")).alias(
+            "n_dropped_quality"
+        ),
+        F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("status") == "kept", F.col("n_tokens")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("tokens_kept"),
+    )
