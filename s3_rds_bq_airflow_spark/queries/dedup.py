@@ -337,3 +337,49 @@ def q_incremental_dedup(spark, sf_dir):
         batch = corpus.where(F.col("doc_id") % 3 == part)
         _novel, store = incremental_exact_dedup(spark, state, batch)
     return store
+
+
+_SETSIM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
+),
+sh0 AS (
+    SELECT doc_id, unnest({ngram_list_sql('tk', 5)}) AS s FROM toks
+),
+sh AS (
+    SELECT DISTINCT doc_id, ({_md5_60_sql('s')}) % 2147483647 AS h FROM sh0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+"""
+
+
+@query("q_setsim_join", oracle=_SETSIM_ORACLE)
+def q_setsim_join(spark, sf_dir):
+    """EXACT Jaccard>=1/2 near-dup join via prefix filtering
+    (`operators/setsim.py` — AllPairs/PPJoin, the deterministic
+    complement to probabilistic MinHash-LSH): 5-token shingle sets,
+    elements ordered rarest-first globally, candidates only where
+    prefixes collide, then exact intersection counts. The oracle is
+    the brute-force ALL-PAIRS scan the operator provably equals —
+    same pairs, same integer intersection/union, same quotient —
+    so a hash match here is a completeness proof for the prefix
+    filter, not just a spot check. All thresholds are integer
+    arithmetic (2*inter >= union); hashes are the portable 60-bit
+    md5 fold mod 2^31-1 shared with the MinHash exact gear."""
+    from ..operators.dedup import token_shingles
+    from ..operators.setsim import setsim_join
+
+    docs = t(spark, sf_dir, "documents")
+    sh = token_shingles(docs, "text", "doc_id", k=5, exact=True)
+    return setsim_join(sh, tau_num=1, tau_den=2)

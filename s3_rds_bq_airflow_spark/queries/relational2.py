@@ -947,3 +947,52 @@ def q_lateral_topk(spark, sf_dir):
 
     register_views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT n_nationkey AS src, (n_nationkey * 2 + 1) % 25 AS dst FROM nation
+    UNION ALL
+    SELECT n_nationkey AS src, (n_nationkey * 3 + 7) % 25 AS dst FROM nation
+),
+walk(node, depth) AS (
+    SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+    UNION ALL
+    SELECT e.dst AS node, w.depth + 1 AS depth
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.depth < 6
+)
+SELECT node,
+       CAST(MIN(depth) AS BIGINT) AS min_hops,
+       COUNT(*) AS n_paths
+FROM walk
+GROUP BY node
+ORDER BY node
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE transitive graph walk (Spark 4's recursive CTE,
+    SPARK-24497) — breadth-bounded reachability over a deterministic
+    synthetic edge list derived from ``nation`` (two affine successor
+    functions mod 25), counting for every reachable node its minimum
+    hop count and the number of distinct <=6-hop walks from node 0.
+    The IDENTICAL SQL text runs on Spark and on the DuckDB oracle
+    (same UNION ALL + depth-guard recursion semantics on both).
+
+    The reference has no recursive queries (its MySQL 5.7-era
+    pagination predates WITH RECURSIVE everywhere in its stack,
+    cf. bec-aws-bq/rds-to-bq.py chunked scans); this closes the last
+    modern-ANSI construct missing from the engine's SQL surface after
+    LATERAL (q_lateral_topk) and VARIANT (q_variant_extract).
+
+    Scale: each recursion level is one equi-join of the frontier
+    against the (dimension-sized, broadcastable) edge list — the same
+    per-round shape as ``operators/cluster.py`` min-label propagation;
+    the depth guard bounds the level count, so no unbounded plan
+    growth. Integer-only arithmetic -> hash-exact across engines."""
+    from ..io.tables import register_views
+
+    register_views(spark, sf_dir, "nation")
+    return spark.sql(_RECURSIVE_SQL)

@@ -873,3 +873,138 @@ def q_hard_negatives(spark, sf_dir):
     return out.select(
         "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r6")
     )
+
+
+_QNORM_ORACLE = """
+WITH comps AS (
+    SELECT vec_id, g.i AS dim, g.v
+    FROM (SELECT vec_id,
+                 unnest(list_transform(range(1, len(embedding) + 1),
+                        i -> struct_pack(i := i, v := embedding[i]))) AS g
+          FROM embeddings) t(vec_id, g)
+),
+ranked AS (
+    SELECT vec_id,
+           RANK() OVER (PARTITION BY dim ORDER BY v) - 1 AS rank0
+    FROM comps
+),
+n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+SELECT vec_id,
+       CAST(SUM(rank0) AS BIGINT) AS sum_rank0,
+       CAST(MIN(rank0) AS BIGINT) AS min_rank0,
+       CAST(MAX(rank0) AS BIGINT) AS max_rank0,
+       CAST(SUM(rank0) AS DOUBLE) / (64 * (n.n_vecs - 1)) AS avg_pct_rank
+FROM ranked, n
+GROUP BY vec_id, n.n_vecs
+"""
+
+
+@query("q_quantile_normalize", oracle=_QNORM_ORACLE)
+def q_quantile_normalize(spark, sf_dir):
+    """Per-dimension quantile (rank) normalization of the embedding
+    matrix — the classic feature-prep transform that replaces each
+    component by its rank within its dimension, making every
+    dimension uniformly distributed before training. Emitted per
+    vector as EXACT integer rank statistics (sum/min/max of 0-based
+    ranks across the 64 dims) plus the average percentile as ONE
+    final IEEE division of integers — no float accumulation anywhere,
+    so the result hash-matches the oracle bit-for-bit (ties in the
+    float components get identical RANK() on both engines because
+    both read the same parquet float32 values).
+
+    Scale: posexplode -> shuffle by dim -> per-dim sort. Exact rank
+    normalization IS a per-dimension total-order sort by definition;
+    dims partition-parallelize (64 independent sorts), and at 100 TB
+    the range-bucketed approx-percentile gear (same exact/throughput
+    gearing as curriculum_buckets, operators/textops) replaces the
+    exact sort when ranks may be approximate."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    )
+    w = Window.partitionBy("dim").orderBy("v")
+    ranked = comps.select(
+        "vec_id", (F.rank().over(w) - 1).alias("rank0")
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        ranked.groupBy("vec_id")
+        .agg(
+            F.sum("rank0").cast("long").alias("sum_rank0"),
+            F.min("rank0").cast("long").alias("min_rank0"),
+            F.max("rank0").cast("long").alias("max_rank0"),
+            F.sum("rank0").alias("_s"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "sum_rank0",
+            "min_rank0",
+            "max_rank0",
+            (F.col("_s").cast("double") / (64 * (F.col("n_vecs") - 1))).alias(
+                "avg_pct_rank"
+            ),
+        )
+    )
+
+
+def _jl_signs(out_dim: int = 16, in_dim: int = 64):
+    """Deterministic Rademacher (+-1) projection matrix from md5 —
+    config-sized, generated identically into the Spark literals and
+    the oracle SQL (no cross-engine hashing needed at runtime)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    cols = ",\n       ".join(
+        "CAST(list_sum(list_transform(range(1, 65), i -> "
+        f"(list_extract([{','.join(str(s) for s in row)}], i)) * "
+        "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+        f")) AS BIGINT) AS p{j}"
+        for j, row in enumerate(signs)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+@query("q_jl_projection", oracle=_jl_oracle())
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction: 64-dim float
+    embeddings -> 16-dim integer sketch via a deterministic Rademacher
+    (+-1 sign) projection (Achlioptas 2003's database-friendly JL
+    variant — signs only, no gaussians, so the projection is EXACT
+    integer arithmetic over scale-3 quantized components, the same
+    portable quantization as the IVF/PQ gears). Inner products and
+    L2 distances are preserved within 1+-eps at this dim ratio, which
+    is what makes the 4x-smaller sketch a drop-in pre-filter for the
+    ANN family (LSH buckets, IVF cells, PQ codes all consume it
+    unchanged).
+
+    Scale: per-row zip_with/aggregate inside codegen — zero shuffles,
+    zero UDFs, embarrassingly parallel; the 16x64 sign matrix is a
+    compile-time literal on both engines. SimHash (operators/dedup)
+    is the 1-bit extreme of this same construction."""
+    from ..operators.ivf import _quantize_long
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _quantize_long(F.col("embedding"))
+    out = emb.select("vec_id", q.alias("_q"))
+    for j, row in enumerate(_jl_signs()):
+        signs = F.array(*[F.lit(s).cast("long") for s in row])
+        proj = F.aggregate(
+            F.zip_with("_q", signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out = out.withColumn(f"p{j}", proj)
+    return out.drop("_q")

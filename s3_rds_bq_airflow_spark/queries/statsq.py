@@ -553,3 +553,121 @@ def q_chi2_drift(spark, sf_dir):
         (F.col("n_cats") - 1).cast("long").alias("dof"),
         F.round(chi2, 6).alias("chi2_r6"),
     )
+
+
+_MAD_ORACLE = """
+WITH ev AS (
+    SELECT event_type, event_id, value FROM events
+),
+ordd AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+),
+med AS (
+    SELECT event_type, MAX(n) AS n,
+           AVG(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                    THEN value END) AS med
+    FROM ordd GROUP BY event_type
+),
+dev AS (
+    SELECT ev.event_type, ev.event_id, ABS(ev.value - med.med) AS d
+    FROM ev JOIN med ON ev.event_type = med.event_type
+),
+dord AS (
+    SELECT event_type, d,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (
+    SELECT event_type,
+           AVG(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                    THEN d END) AS mad
+    FROM dord GROUP BY event_type
+)
+SELECT med.event_type,
+       CAST(med.n AS BIGINT) AS n,
+       med.med AS median_value,
+       mad.mad AS mad,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM med JOIN mad ON med.event_type = mad.event_type
+         JOIN dev ON dev.event_type = med.event_type
+GROUP BY med.event_type, med.n, med.med, mad.mad
+"""
+
+
+@query("q_mad_outliers", oracle=_MAD_ORACLE)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type: EXACT median and
+    median-absolute-deviation, flagging |x - med| > 3*MAD. Medians
+    are computed by explicit ROW_NUMBER ordinal arithmetic — AVG of
+    the value(s) at positions floor/ceil((n+1)/2) — NOT the engines'
+    percentile/quantile_cont builtins, whose interpolation formulas
+    (a+(b-a)*f vs (a+b)/2) can differ by an ulp between engines; the
+    explicit form performs the IDENTICAL IEEE steps on both sides, so
+    median, MAD, and the 3-sigma-equivalent outlier counts all
+    hash-match exactly.
+
+    Scale: two windowed per-group sorts (the definition of an exact
+    median) + one broadcastable per-type median/MAD dimension joined
+    back to the fact; group count is small (event types), rows within
+    a group sort partition-parallel. For quantile monitoring at
+    100 TB the mergeable-histogram sketch (operators/histogram.py,
+    q_incremental_quantiles) is the streaming-tier gear; this is the
+    exact verification gear."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ordd = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mid = (F.col("n") + 1) / F.lit(2)
+    is_mid = (F.col("rn") == F.floor(mid)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / F.lit(2))
+    )
+    med = ordd.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.avg(F.when(is_mid, F.col("value"))).alias("med"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    w_dord = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dord = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(w_dord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mad = dord.groupBy("event_type").agg(
+        F.avg(F.when(is_mid, F.col("d"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("med").alias("median_value"),
+            "mad",
+            "n_outliers",
+        )
+    )

@@ -1030,3 +1030,109 @@ def q_collocations(spark, sf_dir):
         .limit(_COLLOC_TOPK)
         .select("a", "b", "c_ab", "c_a", "c_b", F.round("lift", 6).alias("lift_r6"))
     )
+
+
+_SKIP_W = 3
+_SKIP_MIN_N = 5
+_SKIP_TOPK = 25
+
+
+@query(
+    "q_skipgram_cooccur",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
+    ),
+    uni AS (
+        SELECT t.term, COUNT(*) AS c
+        FROM (SELECT unnest(tk) AS term FROM toks) t
+        GROUP BY t.term
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    pairs AS (
+        SELECT g.x, g.y, COUNT(*) AS c_xy
+        FROM (SELECT unnest(flatten(list_transform(range(1, len(tk) + 1), i ->
+                       list_transform(range(i + 1, least(i + {_SKIP_W}, len(tk)) + 1), j ->
+                         struct_pack(x := least(tk[i], tk[j]),
+                                     y := greatest(tk[i], tk[j])))))) AS g
+              FROM toks) t(g)
+        GROUP BY g.x, g.y
+    ),
+    scored AS (
+        SELECT pairs.x, pairs.y,
+               CAST(pairs.c_xy AS BIGINT) AS c_xy,
+               CAST(ux.c AS BIGINT) AS c_x,
+               CAST(uy.c AS BIGINT) AS c_y,
+               CAST(pairs.c_xy AS DOUBLE) * tot.n / (ux.c * uy.c) AS assoc
+        FROM pairs JOIN uni ux ON pairs.x = ux.term
+                   JOIN uni uy ON pairs.y = uy.term, tot
+        WHERE pairs.c_xy >= {_SKIP_MIN_N}
+    )
+    SELECT x, y, c_xy, c_x, c_y, ROUND(assoc, 6) AS assoc_r6
+    FROM scored
+    ORDER BY assoc DESC, x, y
+    LIMIT {_SKIP_TOPK}
+    """,
+)
+def q_skipgram_cooccur(spark, sf_dir):
+    """Skip-gram co-occurrence mining (word2vec-style window): the
+    top-25 UNORDERED token pairs co-occurring within {w} positions,
+    ranked by lift against the unigram-independence expectation —
+    the windowed generalization of q_collocations (which counts
+    adjacent ORDERED bigrams only). Pair extraction is a pure array
+    expression (nested transform over position indices, canonical
+    least/greatest ordering) — no positional self-join, no UDF, so
+    per-row cost is O(len * w) inside codegen and the only shuffles
+    are the map-side-combined pair and unigram counts; the corpus
+    total is a broadcast 1-row aggregate. Association uses the same
+    ln-free exact-integer lift recipe as q_collocations (one IEEE
+    division + ROUND 6), immune to accumulation order.""".replace(
+        "{w}", str(_SKIP_W)
+    )
+    toks = t(spark, sf_dir, "documents").select(
+        F.split(normalized_text(), " ").alias("tk")
+    )
+    # element_at is 1-based like DuckDB's tk[i]; Spark's tk[i] would be
+    # 0-based and walk off the end under ANSI mode.
+    pair_expr = (
+        f"flatten(transform(sequence(1, size(tk)), i -> "
+        f"if(i < size(tk), transform(sequence(i + 1, least(i + {_SKIP_W}, size(tk))), j -> "
+        f"struct(least(element_at(tk, i), element_at(tk, j)) AS x, "
+        f"greatest(element_at(tk, i), element_at(tk, j)) AS y)), "
+        f"array())))"
+    )
+    pairs = (
+        toks.select(F.explode(F.expr(pair_expr)).alias("g"))
+        .select("g.x", "g.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= _SKIP_MIN_N)
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    ux = uni.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        pairs.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            (F.col("c_xy").cast("double") * F.col("n") / (F.col("c_x") * F.col("c_y"))).alias(
+                "assoc"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("assoc"), F.asc("x"), F.asc("y"))
+        .limit(_SKIP_TOPK)
+        .select("x", "y", "c_xy", "c_x", "c_y", F.round("assoc", 6).alias("assoc_r6"))
+    )
