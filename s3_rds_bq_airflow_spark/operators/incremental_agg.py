@@ -66,3 +66,78 @@ def incremental_aggregate(
     merged.write.mode("overwrite").parquet(tmp)
     swap_directory(tmp, state_path)
     return spark.read.parquet(state_path)
+
+
+def incremental_join(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    on: Sequence[str],
+    delta_a: DataFrame | None = None,
+    delta_b: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental JOIN-view maintenance (materialized equi-join).
+
+    The delta-join identity: with accumulated sides A, B and new
+    batches dA, dB, the join view J = A' >< B' updates as
+
+        dJ = (dA >< B)  U  (A >< dB)  U  (dA >< dB)
+        J' = J U dJ,   A' = A U dA,   B' = B U dB
+
+    so each fold costs O(|delta| * fanout) join work plus appends —
+    independent of how much history the view already holds, the same
+    never-re-scan-history contract as ``incremental_aggregate``. This
+    is what a stream-stream inner join's state store computes; here it
+    is an explicit restartable batch operator with plain-parquet state
+    (``a/``, ``b/``, ``j/`` under ``state_dir``, each atomically
+    swapped). At warehouse scale the accumulated sides should be
+    written bucketed by the join key so the dA >< B probe co-locates
+    without a full shuffle of B.
+
+    Insert-only deltas (the reference's append-style ingest,
+    bec-aws-bq/s3-to-rds.py); retractions are the CDC tombstone
+    path (operators/merge.py) applied before the fold.
+    """
+    on = list(on)
+    paths = {k: os.path.join(state_dir, k) for k in ("a", "b", "j")}
+    state = {
+        k: spark.read.parquet(p) if os.path.exists(p) else None
+        for k, p in paths.items()
+    }
+    parts = []
+    if delta_a is not None and state["b"] is not None:
+        parts.append(delta_a.join(state["b"], on))
+    if delta_b is not None and state["a"] is not None:
+        parts.append(state["a"].join(delta_b, on))
+    if delta_a is not None and delta_b is not None:
+        parts.append(delta_a.join(delta_b, on))
+    delta_j = None
+    for p in parts:
+        delta_j = p if delta_j is None else delta_j.unionByName(p)
+
+    def _append(old: DataFrame | None, delta: DataFrame | None, path: str):
+        new = old
+        if delta is not None:
+            new = delta if old is None else old.unionByName(delta)
+        if new is not None:
+            tmp = path.rstrip("/") + "__tmp"
+            new.write.mode("overwrite").parquet(tmp)
+            swap_directory(tmp, path)
+
+    # Write the join view FIRST: delta_j lazily references the OLD
+    # a/ and b/ files, which the side swaps below delete.
+    _append(state["j"], delta_j, paths["j"])
+    _append(state["a"], delta_a, paths["a"])
+    _append(state["b"], delta_b, paths["b"])
+    if os.path.exists(paths["j"]):
+        return spark.read.parquet(paths["j"])
+    # No joinable rows yet (folds so far touched one side only):
+    # an empty view with the join schema, if both sides are known.
+    if os.path.exists(paths["a"]) and os.path.exists(paths["b"]):
+        return (
+            spark.read.parquet(paths["a"])
+            .limit(0)
+            .join(spark.read.parquet(paths["b"]).limit(0), on)
+        )
+    one = paths["a"] if os.path.exists(paths["a"]) else paths["b"]
+    return spark.read.parquet(one).limit(0)

@@ -523,3 +523,54 @@ def q_compaction(spark, sf_dir):
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_incremental_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_incremental_join(spark, sf_dir):
+    """Materialized JOIN-view maintenance, driver-checkable
+    (`operators/incremental_agg.incremental_join`): orders arrive as
+    three batches and customers as two, interleaved, each fold
+    computing only the delta join dA><B U A><dB U dA><dB and
+    appending — history is never re-joined. The oracle is the
+    one-shot join over everything: equality proves the delta-join
+    algebra is exact under ANY interleaving of side arrivals
+    (including folds where one side's delta is absent). Final state
+    is aggregated per market segment with exact decimal sums."""
+    from ..operators.incremental_agg import incremental_join
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        dec("o_totalprice").alias("o_totalprice"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    state = os.path.join(tempfile.mkdtemp(prefix="engine_incjoin_"), "state")
+    folds = [
+        dict(delta_b=cust.where(F.col("c_custkey") % 2 == 0)),
+        dict(delta_a=orders.where(F.col("o_orderkey") % 3 == 0)),
+        dict(
+            delta_a=orders.where(F.col("o_orderkey") % 3 == 1),
+            delta_b=cust.where(F.col("c_custkey") % 2 == 1),
+        ),
+        dict(delta_a=orders.where(F.col("o_orderkey") % 3 == 2)),
+    ]
+    view = None
+    for kw in folds:
+        view = incremental_join(spark, state, on=["c_custkey"], **kw)
+    return view.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("sum_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -52,3 +52,52 @@ def test_empty_batch_is_noop(spark, sf_dir, tmp_path):
     empty = orders.where(F.lit(False))
     after = incremental_aggregate(spark, state, empty, keys=["o_orderstatus"], aggs=AGGS)
     assert sorted(map(tuple, after.collect())) == before
+
+
+def test_incremental_join_any_interleaving(spark, sf_dir, tmp_path):
+    from s3_rds_bq_airflow_spark.operators.incremental_agg import incremental_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    want = sorted(map(tuple, orders.join(cust, "c_custkey").collect()))
+
+    schedules = {
+        "b_first": [
+            dict(delta_b=cust),
+            dict(delta_a=orders.where(F.col("o_orderkey") % 2 == 0)),
+            dict(delta_a=orders.where(F.col("o_orderkey") % 2 == 1)),
+        ],
+        "a_first": [
+            dict(delta_a=orders),
+            dict(delta_b=cust.where(F.col("c_custkey") % 2 == 0)),
+            dict(delta_b=cust.where(F.col("c_custkey") % 2 == 1)),
+        ],
+        "mixed": [
+            dict(
+                delta_a=orders.where(F.col("o_orderkey") % 2 == 0),
+                delta_b=cust.where(F.col("c_custkey") % 2 == 0),
+            ),
+            dict(
+                delta_a=orders.where(F.col("o_orderkey") % 2 == 1),
+                delta_b=cust.where(F.col("c_custkey") % 2 == 1),
+            ),
+        ],
+    }
+    for name, folds in schedules.items():
+        state = str(tmp_path / f"incjoin_{name}")
+        view = None
+        for kw in folds:
+            view = incremental_join(spark, state, on=["c_custkey"], **kw)
+        got = sorted(map(tuple, view.select(*orders.join(cust, "c_custkey").columns).collect()))
+        assert got == want, name
+
+
+def test_incremental_join_single_side_returns_empty_view(spark, sf_dir, tmp_path):
+    from s3_rds_bq_airflow_spark.operators.incremental_agg import incremental_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    state = str(tmp_path / "incjoin_empty")
+    view = incremental_join(spark, state, on=["c_custkey"], delta_b=cust)
+    assert view.count() == 0
