@@ -271,3 +271,74 @@ def q_variant_extract(spark, sf_dir):
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+_ISLANDS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+anchored AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+               AS anchor
+    FROM days
+),
+islands AS (
+    SELECT user_id, anchor,
+           COUNT(*) AS n_days,
+           MIN(day) AS start_day
+    FROM anchored GROUP BY user_id, anchor
+),
+marked AS (
+    SELECT user_id, n_days, start_day,
+           MAX(n_days) OVER (PARTITION BY user_id) AS mx
+    FROM islands
+)
+SELECT user_id,
+       CAST(SUM(n_days) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_islands,
+       CAST(MAX(n_days) AS BIGINT) AS longest_run_days,
+       CAST(MIN(CASE WHEN n_days = mx THEN start_day END) AS VARCHAR)
+           AS longest_run_start
+FROM marked
+GROUP BY user_id
+"""
+
+
+@query("q_gaps_islands", oracle=_ISLANDS_ORACLE)
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: per user, runs of CONSECUTIVE active days
+    (the classic row_number-difference idiom: day minus its per-user
+    ordinal is constant exactly within a consecutive run) — activity
+    streaks, the engagement-analytics counterpart of session windows
+    (which group by time GAP, not calendar adjacency). Emits per user
+    the active-day count, number of runs, longest run, and the
+    earliest start among longest runs (deterministic tie-break).
+
+    Scale: one distinct + two aggregations, all partitioned by
+    user_id — a single shuffle key end-to-end, no joins; the
+    windowed ordinal sorts only each user's own days."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("day").alias("start_day"),
+    )
+    w_mx = Window.partitionBy("user_id")
+    marked = islands.withColumn("mx", F.max("n_days").over(w_mx))
+    return marked.groupBy("user_id").agg(
+        F.sum("n_days").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("n_days").cast("long").alias("longest_run_days"),
+        F.min(F.when(F.col("n_days") == F.col("mx"), F.col("start_day")))
+        .cast("string")
+        .alias("longest_run_start"),
+    )

@@ -412,3 +412,115 @@ def test_stream_enrich_sees_refreshed_dimension(spark, tmp_path):
     got = {r["event_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
     assert {k: v for k, v in got.items() if k <= 2} == {0: "bronze", 1: "bronze", 2: "bronze"}
     assert {k: v for k, v in got.items() if k >= 3} == {3: "gold", 4: "gold", 5: "gold"}
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join finality: signups with no click
+    inside the 2-hour window must surface as null-padded rows — but
+    ONLY once the watermark passes the window's upper bound. Run 1
+    (availableNow) emits the inner matches and holds the unmatched
+    signups in state; a later flush event advances the watermark and
+    run 2 (same checkpoint) emits exactly the null rows. Final sink
+    content equals the batch left-outer join over the phase-1 events
+    — the state is bounded AND nothing is lost or duplicated."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def write(name, rows, mtime_off):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        p = os.path.join(d, name)
+        pq.write_table(tbl, p)
+        now = time.time()
+        os.utime(p, (now + mtime_off, now + mtime_off))
+
+    H = dt.timedelta(hours=1)
+    phase1 = [
+        (1, t0, 101, "signup"),
+        (2, t0 + H / 2, 101, "click"),        # match for signup 1
+        (3, t0, 102, "signup"),               # never clicks -> null row
+        (4, t0 + H, 103, "signup"),
+        (5, t0 + 4 * H, 103, "click"),        # outside 2h window -> null row
+    ]
+    write("phase1.parquet", phase1, 0)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        # one file per micro-batch: outer rows are emitted in the batch
+        # AFTER the one whose data advanced the watermark, so the flush
+        # needs a successor batch to trigger eviction
+        src = read_event_stream(spark, d, max_files_per_trigger=1)
+        signups = (
+            src.where(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"),
+                F.col("event_id").alias("s_id"),
+            )
+            .withWatermark("s_ts", "1 hour")
+        )
+        clicks = (
+            src.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        joined = signups.join(
+            clicks,
+            F.expr("s_user = c_user AND c_ts >= s_ts AND c_ts < s_ts + INTERVAL 2 HOURS"),
+            "leftOuter",
+        ).select("s_id", "c_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    start()
+    got1 = {(r.s_id, r.c_id) for r in spark.read.parquet(out).collect()}
+    assert (1, 2) in got1  # the in-window match lands in run 1
+    assert (3, None) not in got1  # outer rows cannot emit yet
+
+    # watermark flush: far-future events on BOTH sides — the join's
+    # effective watermark is the MIN across the two withWatermark
+    # inputs (multipleWatermarkPolicy=min), so flushing only one side
+    # would leave the global watermark pinned at phase-1 time forever;
+    # availableNow's trailing no-data batch then performs the eviction
+    write(
+        "flush.parquet",
+        [
+            (99, t0 + dt.timedelta(days=10), 999, "click"),
+            (98, t0 + dt.timedelta(days=10), 999, "signup"),
+        ],
+        5,
+    )
+    start()
+
+    got = {(r.s_id, r.c_id) for r in spark.read.parquet(out).collect()}
+    # phase-1 fully resolved: the in-window match, null rows for the
+    # never-clicked and late-clicked signups, plus the flush pair's
+    # own (immediate, watermark-independent) inner match
+    assert got == {(1, 2), (3, None), (4, None), (98, 99)}
