@@ -833,3 +833,150 @@ def q_dedup_apply(spark, sf_dir):
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+_TEMP_ORACLE = """
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+),
+mn AS (SELECT MIN(n_l) AS n_min FROM counts),
+keyed AS (
+    SELECT d.doc_id, d.lang, c.n_l, mn.n_min,
+           list_reduce(list_transform(range(1, 11), j ->
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(d.doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+               AS BIGINT)), (acc, x) -> acc * 16 + x) AS h
+    FROM documents d JOIN counts c ON d.lang = c.lang, mn
+),
+kept AS (
+    SELECT lang, n_l, n_min,
+           CASE WHEN CAST(h AS HUGEINT) * h * n_l
+                     < CAST(1099511627776 AS HUGEINT) * 1099511627776 * n_min
+                THEN 1 ELSE 0 END AS keep
+    FROM keyed
+)
+SELECT lang,
+       CAST(MAX(n_l) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep) AS DOUBLE) / MAX(n_l) AS kept_rate
+FROM kept
+GROUP BY lang
+"""
+
+
+@query("q_temperature_sampling", oracle=_TEMP_ORACLE)
+def q_temperature_sampling(spark, sf_dir):
+    """Temperature-based language rebalancing (the multilingual
+    UniMax/mC4 alpha-sampling family, alpha = 1/2): languages are
+    downsampled so kept counts grow like sqrt(n_l) — keep-rate
+    sqrt(n_min/n_l), rate 1 for the rarest language. The per-row
+    decision is the same deterministic md5-threshold filter as
+    ``operators/mixing`` (stateless, reproducible, pushdown-able),
+    but with DATA-DERIVED rates — and the sqrt never gets computed:
+    keep iff h^2 * n_l < 2^80 * n_min over a 40-bit md5 fold, the
+    square of the threshold inequality, so the whole decision is
+    EXACT integer arithmetic (Spark bounded decimals / DuckDB
+    hugeint) with zero transcendentals to diverge by an ulp.
+
+    Scale: one config-sized language-count aggregate broadcast back,
+    then a per-row filter fused into the scan — no shuffle of the
+    corpus, same rows kept under any partitioning or retry."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("decimal(13,0)")
+    big = F.lit(2**40).cast("decimal(13,0)")
+    keyed = (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "keep",
+            F.when(
+                h * h * F.col("n_l").cast("decimal(8,0)")
+                < big * big * F.col("n_min").cast("decimal(8,0)"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return keyed.groupBy("lang").agg(
+        F.max("n_l").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        (F.sum("keep").cast("double") / F.max("n_l")).alias("kept_rate"),
+    )
+
+
+_LEAKAGE_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+),
+assigned AS (
+    SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM corpus
+),
+per_fp AS (
+    SELECT fp,
+           array_to_string(list_sort(list_distinct(list(split))), ',') AS split_combo,
+           COUNT(*) AS n_docs
+    FROM assigned GROUP BY fp
+)
+SELECT split_combo,
+       COUNT(*) AS n_fingerprints,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN split_combo LIKE '%,%' THEN n_docs ELSE 0 END) AS BIGINT)
+           AS n_leaked_docs
+FROM per_fp
+GROUP BY split_combo
+"""
+
+
+@query("q_split_leakage_guard", oracle=_LEAKAGE_ORACLE)
+def q_split_leakage_guard(spark, sf_dir):
+    """Train/val/test split with a content-leakage audit: documents
+    are assigned to splits by a deterministic md5(doc_id) threshold
+    (75/12.5/12.5, same stateless filter family as
+    ``operators/mixing``), then every normalized-content fingerprint
+    is checked for membership in MORE THAN ONE split — the
+    dedup-before-split rule made measurable. The corpus carries the
+    planted identical twins (doc_id % 17), whose independent split
+    assignment guarantees nonzero cross-split leakage to detect:
+    combos containing a comma are eval-set contamination.
+
+    Scale: one (fingerprint, split) shuffle with map-side combine;
+    split assignment and fingerprinting are per-row scan expressions.
+    The remediation path is q_dedup_exact -> assign splits by the
+    FINGERPRINT's hash instead of the doc id (leakage impossible by
+    construction); this query is the auditor proving why."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(hex1 < "c", "train").when(hex1 < "e", "val").otherwise("test")
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    per_fp = (
+        corpus.select(fp.alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("split_combo"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return per_fp.groupBy("split_combo").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("split_combo").contains(","), F.col("n_docs")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_leaked_docs"),
+    )
