@@ -91,3 +91,28 @@ def test_jl_projection_preserves_cosine_on_twins(spark, sf_dir):
     # (-0.9, 0.9) overwhelmingly; assert the average is small
     cs = [abs(cos(vecs[i], vecs[j])) for i in range(10) for j in range(i + 1, 10)]
     assert sum(cs) / len(cs) < 0.6
+
+
+def test_r5b_exchange_budgets(spark, sf_dir):
+    """Scale-posture pins for the round-5b tier: JL projection is a
+    pure row-local map (ZERO exchanges); the rest stay within small
+    fixed shuffle budgets. setsim's larger static count is repeated
+    references to the one shingle subtree across its four consumers
+    (freq/sizes/prefix/verify) — identical subplans, reused at
+    runtime by exchange reuse; the pin catches growth, not reuse."""
+    from s3_rds_bq_airflow_spark.plans.inspect import shuffle_count
+
+    budgets = {
+        "q_jl_projection": 0,
+        "q_gaps_islands": 2,
+        "q_split_leakage_guard": 2,
+        "q_recursive_cte": 3,
+        "q_quantile_normalize": 3,
+        "q_temperature_sampling": 4,
+        "q_skipgram_cooccur": 5,
+        "q_mad_outliers": 5,
+        "q_setsim_join": 20,
+    }
+    for name, budget in budgets.items():
+        got = shuffle_count(Q[name](spark, sf_dir))
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
