@@ -1136,3 +1136,87 @@ def q_skipgram_cooccur(spark, sf_dir):
         .limit(_SKIP_TOPK)
         .select("x", "y", "c_xy", "c_x", "c_y", F.round("assoc", 6).alias("assoc_r6"))
     )
+
+
+def _bpe_encode_round_sql(win: str, tag: str) -> str:
+    """Apply round ``tag``'s learned pattern to the distinct-word
+    frame ``win`` (same separator-wrapped replace as the learner)."""
+    s = _bpe_sep_sql()
+    return (
+        f"e{tag} AS (SELECT w, {win}.n AS n, replace(s, t{tag}.pat, "
+        f"replace(t{tag}.pat, {s} || {s}, '')) AS s FROM {win}, t{tag})"
+    )
+
+
+_ORACLE_BPE_ENCODE = f"""
+WITH words AS (
+    SELECT unnest(string_split({NORMALIZE_SQL}, ' ')) AS w FROM documents
+),
+w0 AS (
+    SELECT {_bpe_sep_sql()} || array_to_string(string_split(w, ''),
+               {_bpe_sep_sql()} || {_bpe_sep_sql()}) || {_bpe_sep_sql()} AS s
+    FROM words
+),
+{_bpe_round_sql("w0", "1")},
+{_bpe_round_sql("w1", "2")},
+{_bpe_round_sql("w2", "3")},
+wc AS (
+    SELECT w, COUNT(*) AS n,
+           {_bpe_sep_sql()} || array_to_string(string_split(w, ''),
+               {_bpe_sep_sql()} || {_bpe_sep_sql()}) || {_bpe_sep_sql()} AS s
+    FROM words GROUP BY w
+),
+{_bpe_encode_round_sql("wc", "1")},
+{_bpe_encode_round_sql("e1", "2")},
+{_bpe_encode_round_sql("e2", "3")}
+SELECT w AS word,
+       array_to_string(string_split(substr(s, 2, length(s) - 2),
+                       {_bpe_sep_sql()} || {_bpe_sep_sql()}), ' ') AS encoded,
+       CAST(len(string_split(substr(s, 2, length(s) - 2),
+                {_bpe_sep_sql()} || {_bpe_sep_sql()})) AS BIGINT) AS n_tokens,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM e3
+"""
+
+
+@query("q_bpe_encode", oracle=_ORACLE_BPE_ENCODE)
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODE — the apply side of q_bpe_merges: learn three merge
+    rules from the full occurrence stream (frequencies must come from
+    the corpus multiset), then tokenize every DISTINCT word by
+    replaying the merges in learned order. Same separator-wrapped
+    replace trick as the learner, so 'apply merges in order' is a
+    chain of plain replace() calls with identical semantics in both
+    engines — the learn->encode round trip of a real tokenizer
+    pipeline, end-to-end hash-checked.
+
+    Scale: learning shuffles only pair-count tables; encoding is
+    per-row replaces over the DISTINCT-word frame (vocabulary-sized,
+    not corpus-sized) — tokenizing the actual corpus is then a
+    broadcast-join of that vocabulary against the token stream."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
+    )
+    wrap = lambda c: F.concat(
+        F.lit(_US), F.concat_ws(_US + _US, F.split(c, "")), F.lit(_US)
+    )
+    stream = words.select(wrap(F.col("w")).alias("s"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n")).select(
+        "w", "n", wrap(F.col("w")).alias("s")
+    )
+    for _ in range(3):
+        top = _bpe_top_pair(stream)
+        stream = stream.crossJoin(F.broadcast(top)).select(
+            F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s")
+        )
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            "w", "n", F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s")
+        )
+    toks = _bpe_tokens(F.col("s"))
+    return vocab.select(
+        F.col("w").alias("word"),
+        F.concat_ws(" ", toks).alias("encoded"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("n").cast("long").alias("n_occurrences"),
+    )
