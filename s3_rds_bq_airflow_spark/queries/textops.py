@@ -795,9 +795,17 @@ def _bpe_tokens(s_col):
     return F.split(s_col.substr(F.lit(2), F.length(s_col) - 2), _US + _US)
 
 
-def _bpe_top_pair(words):
+def _bpe_top_pair(words, weight=None):
     """1-row frame (pat, repl): the corpus's most frequent adjacent
-    token pair as its wrapped pattern + merged replacement."""
+    token pair as its wrapped pattern + merged replacement.
+
+    ``weight``: optional occurrence-count column name — the standard
+    BPE word-frequency-dictionary optimization (Sennrich's reference
+    implementation learns from the distinct-word dict, not the
+    occurrence stream): identical words contribute identical pairs,
+    so SUM(weight) over the VOCABULARY equals COUNT(*) over the
+    CORPUS exactly — the oracle replays the unweighted stream form,
+    so its equality proves the weighted refactor."""
     tk = _bpe_tokens(F.col("s"))
     pats = F.when(
         F.size(tk) >= 2,
@@ -809,10 +817,15 @@ def _bpe_top_pair(words):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    if weight is None:
+        exploded = words.select(F.explode(pats).alias("pat"))
+        agg = F.count(F.lit(1)).alias("n")
+    else:
+        exploded = words.select(F.col(weight).alias("_wt"), F.explode(pats).alias("pat"))
+        agg = F.sum("_wt").alias("n")
     return (
-        words.select(F.explode(pats).alias("pat"))
-        .groupBy("pat")
-        .agg(F.count(F.lit(1)).alias("n"))
+        exploded.groupBy("pat")
+        .agg(agg)
         .orderBy(F.desc("n"), F.asc("pat"))
         .limit(1)
         .select("pat", F.replace(F.col("pat"), F.lit(_US + _US), F.lit("")).alias("repl"))
@@ -836,30 +849,39 @@ def q_bpe_merges(spark, sf_dir):
     pattern + a per-row replace; N merge rounds = N such passes, the
     standard distributed-BPE shape (the pair-count table, not the
     corpus, is the shuffled data)."""
-    words = (
+    # Weighted-dictionary gear: pair counts come from the DISTINCT
+    # word vocabulary weighted by occurrence count — corpus-size work
+    # only in the one word-count aggregate; every merge round then
+    # touches vocabulary-sized data. The oracle replays the full
+    # occurrence stream, so hash equality proves the two are the same
+    # algebra (sum of per-word counts == corpus pair count).
+    vocab = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
         .select(
+            "wn",
             F.concat(
                 F.lit(_US),
                 F.concat_ws(_US + _US, F.split(F.col("w"), "")),
                 F.lit(_US),
-            ).alias("s")
+            ).alias("s"),
         )
     )
     merges = []
     for _ in range(2):
-        top = _bpe_top_pair(words)
+        top = _bpe_top_pair(vocab, weight="wn")
         merges.append(top)
-        words = words.crossJoin(F.broadcast(top)).select(
-            F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s")
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            "wn", F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s")
         )
     from pyspark.sql import Window as W
 
     ranked = (
-        words.select(F.explode(_bpe_tokens(F.col("s"))).alias("token"))
+        vocab.select("wn", F.explode(_bpe_tokens(F.col("s"))).alias("token"))
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("wn").alias("n"))
         .withColumn(
             "rank",
             F.row_number().over(W.orderBy(F.desc("n"), F.asc("token"))).cast("long"),
@@ -1194,22 +1216,22 @@ def q_bpe_encode(spark, sf_dir):
     per-row replaces over the DISTINCT-word frame (vocabulary-sized,
     not corpus-sized) — tokenizing the actual corpus is then a
     broadcast-join of that vocabulary against the token stream."""
-    words = (
-        t(spark, sf_dir, "documents")
-        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
-    )
     wrap = lambda c: F.concat(
         F.lit(_US), F.concat_ws(_US + _US, F.split(c, "")), F.lit(_US)
     )
-    stream = words.select(wrap(F.col("w")).alias("s"))
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n")).select(
-        "w", "n", wrap(F.col("w")).alias("s")
+    # One weighted vocabulary frame serves BOTH learning (pair counts
+    # = SUM of word counts, exactly the occurrence-stream counts the
+    # oracle computes) and encoding — corpus-sized work only in the
+    # initial word-count aggregate.
+    vocab = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", wrap(F.col("w")).alias("s"))
     )
     for _ in range(3):
-        top = _bpe_top_pair(stream)
-        stream = stream.crossJoin(F.broadcast(top)).select(
-            F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s")
-        )
+        top = _bpe_top_pair(vocab, weight="n")
         vocab = vocab.crossJoin(F.broadcast(top)).select(
             "w", "n", F.replace(F.col("s"), F.col("pat"), F.col("repl")).alias("s")
         )
