@@ -1242,3 +1242,59 @@ def q_bpe_encode(spark, sf_dir):
         F.size(toks).cast("long").alias("n_tokens"),
         F.col("n").cast("long").alias("n_occurrences"),
     )
+
+
+@query(
+    "q_lang_confusion",
+    oracle=(
+        "WITH scores AS (SELECT doc_id, lang, "
+        + ", ".join(
+            " + ".join(
+                _occurrences_sql("(' ' || LOWER(text) || ' ')", m) for m in markers
+            )
+            + f" AS score_{lang}"
+            for lang, markers in LANG_MARKERS.items()
+        )
+        + """ FROM documents),
+    pred AS (
+        SELECT lang AS labeled_lang,
+               CASE
+                 WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+                 WHEN score_fr >= score_es AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+                 WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'
+                 WHEN score_de >= score_zh THEN 'de'
+                 ELSE 'zh'
+               END AS predicted_lang
+        FROM scores
+    )
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """
+    ),
+)
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the q_lang_id heuristic's
+    predictions cross-tabulated against the labeled ``lang`` column —
+    the classifier-evaluation workflow (precision/recall per class
+    read straight off the cells) as one config-sized aggregate.
+    (The synthetic labels are random, so the matrix measures scoring
+    determinism and marginal distributions, not real accuracy — same
+    caveat as q_lang_id.) Zero-shuffle scoring, one tiny groupBy."""
+    scores = _lang_score_cols()
+    df = t(spark, sf_dir, "documents").select("lang", *scores.values())
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return (
+        df.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

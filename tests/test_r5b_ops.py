@@ -112,6 +112,11 @@ def test_r5b_exchange_budgets(spark, sf_dir):
         "q_skipgram_cooccur": 5,
         "q_mad_outliers": 5,
         "q_setsim_join": 20,
+        "q_lang_confusion": 1,
+        # iterative merge rounds: each round re-references the
+        # vocabulary subtree (static count; runtime reuses exchanges)
+        "q_bpe_merges": 16,
+        "q_bpe_encode": 17,
     }
     for name, budget in budgets.items():
         got = shuffle_count(Q[name](spark, sf_dir))
