@@ -39,15 +39,22 @@ from . import trainprep  # noqa: E402,F401
 #      declared-and-oracle-backed queries without a green driver row
 #      (their exact oracles landed in round 4 after the tier-1 budget
 #      was full; CORRECTNESS still carries stale r1/r3 `no_oracle`
-#      rows) — plus any query added during round 5, which registers
-#      un-deprioritized and therefore surfaces automatically;
+#      rows) — plus EVERY query added during round 5 (both the
+#      corpus/ANN tier and the round-5b tier: recursive CTE, setsim,
+#      skip-gram, quantile-normalize, MAD, JL, incremental join,
+#      gaps-islands, temperature sampling, leakage guard, BPE encode,
+#      lang confusion), which register un-deprioritized and therefore
+#      surface automatically — ~41 unverified entries, inside the ~50
+#      budget;
 #   2. _R1_GREENS — green in round 1 and never re-confirmed since;
-#      rotated into the remaining ~46 budget slots oldest-first so the
+#      rotated into the remaining budget slots oldest-first so the
 #      current code gets fresh driver evidence on them;
 #   3. _R3_GREENS then _R4_GREENS — re-confirmed recently, last;
 #   4. _ROWS_ONLY_SKETCHES — HLL++/KLL sketches that can never
 #      hash-match a DuckDB oracle by nature; dead last so they never
 #      burn a hash-checkable slot.
+# ROUND-6 NOTE: after CORRECTNESS_r05 lands, fold the round-5 head
+# into a new greens tier and rotate the remaining _R1_GREENS forward.
 _MUST_SURFACE_R5 = (
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
