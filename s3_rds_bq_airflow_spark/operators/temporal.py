@@ -35,13 +35,20 @@ def asof_join(
     right_values: Sequence[str],
     strict: bool = True,
     suffix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_time <= left_time`` (``<`` when ``strict``) and the same
     ``on`` key. Right payload columns come back as ``{suffix}{col}``
     (null when no prior right row exists — left-outer semantics).
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``
+    semantics): a match older than the tolerance is treated as no
+    match — the payload nulls out. Implemented as a per-row post
+    filter on the carried right TIME, so the plan is unchanged (one
+    shuffle per input); staleness never creates extra join work.
     """
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
 
     # tag: right rows sort before left rows at equal time for
     # inclusive (<=) semantics, after them for strict (<).
@@ -53,13 +60,16 @@ def asof_join(
     # column (DuckDB ASOF JOIN takes the matched row as-is, NULLs
     # included).
     rv_type = StructType(
-        [StructField(c, right.schema[c].dataType) for c in right_values]
+        [StructField("__rt", right.schema[right_time].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_values]
     )
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(right_tag).alias("__tag"),
-        F.struct(*[F.col(c) for c in right_values]).alias("__rv"),
+        F.struct(
+            F.col(right_time).alias("__rt"), *[F.col(c) for c in right_values]
+        ).alias("__rv"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(  # noqa: E741
@@ -77,6 +87,18 @@ def asof_join(
         "__rv", F.last("__rv", ignorenulls=True).over(w)
     )
     out = combined.where(F.col("__tag") == left_tag)
+    if tolerance_seconds is not None:
+        t_type = right.schema[right_time].dataType
+        if isinstance(t_type, (TimestampType, TimestampNTZType)):
+            age = (
+                F.unix_micros(F.col("__t").cast("timestamp"))
+                - F.unix_micros(F.col("__rv.__rt").cast("timestamp"))
+            ).cast("double") / F.lit(1e6)
+        else:
+            age = (F.col("__t") - F.col("__rv.__rt")).cast("double")
+        out = out.withColumn(
+            "__rv", F.when(age <= F.lit(float(tolerance_seconds)), F.col("__rv"))
+        )
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col(f"__rv.{c}").alias(f"{suffix}{c}") for c in right_values],

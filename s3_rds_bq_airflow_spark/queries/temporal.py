@@ -183,3 +183,50 @@ def q_resample_ffill(spark, sf_dir):
         F.last("hourly_value", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("e_user").isNull().cast("long").alias("was_gap"),
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CASE WHEN p.ts IS NOT NULL AND e.ts - p.ts <= INTERVAL 6 HOURS
+                THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S') END AS prior_purchase_ts,
+           CASE WHEN p.ts IS NOT NULL AND e.ts - p.ts <= INTERVAL 6 HOURS
+                THEN p.value END AS prior_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+)
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS TOLERANCE (pandas
+    ``merge_asof(tolerance=...)``): the most recent strictly-prior
+    purchase counts only if it is at most 6 hours old — older matches
+    null out, exactly as if no prior row existed. The engine applies
+    tolerance as a per-row post filter on the carried right time
+    (``operators/temporal.asof_join(tolerance_seconds=...)``), so the
+    plan is the SAME single-shuffle union + carry-forward as
+    q_asof_join; the oracle is DuckDB's native ASOF JOIN with the
+    equivalent CASE — primitive vs composition, one answer."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["ts", "value"],
+        strict=True,
+        tolerance_seconds=6 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts"),
+        ts_str(F.col("asof_ts")).alias("prior_purchase_ts"),
+        F.col("asof_value").alias("prior_purchase_value"),
+    )
