@@ -143,3 +143,54 @@ def range_join_binned(
         (F.col("__rt") >= F.col("__ls")) & (F.col("__rt") < F.col("__le"))
     )
     return joined.drop("__b", "__ls", "__le", "__rt")
+
+
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: Column,
+    left_end: Column,
+    right_start: Column,
+    right_end: Column,
+    bucket_seconds: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Interval x interval OVERLAP join: pairs every left interval
+    with every right interval satisfying
+    ``left_start < right_end AND right_start < left_end``
+    (the half-open overlap predicate), optionally also equi-keyed on
+    ``on``. The interval generalization of ``range_join_binned``:
+    BOTH sides explode to the fixed time buckets they cover, the join
+    is an equi-join on (key, bucket) with the residual overlap
+    predicate, and pairs sharing several buckets are deduplicated by
+    a distinct on the carried columns. Fanout per row is
+    interval_len/bucket + 1 — a constant when ``bucket_seconds`` is
+    chosen near the typical interval length — so the nested-loop
+    O(n*m) never materializes at any scale.
+
+    Times are epoch-second expressions (``epoch_seconds``). Start/end
+    land in output as ``__ls/__le/__rs/__re`` for downstream use.
+    """
+    lb = F.floor(left_start / bucket_seconds).cast("long")
+    ub = F.floor(left_end / bucket_seconds).cast("long")
+    lx = (
+        left.withColumn("__ls", left_start)
+        .withColumn("__le", left_end)
+        .withColumn("__b", F.explode(F.sequence(lb, ub)))
+    )
+    rb = F.floor(right_start / bucket_seconds).cast("long")
+    rub = F.floor(right_end / bucket_seconds).cast("long")
+    rx = (
+        right.withColumn("__rs", right_start)
+        .withColumn("__re", right_end)
+        .withColumn("__b", F.explode(F.sequence(rb, rub)))
+    )
+    keys = ["__b"] if on is None else [on, "__b"]
+    joined = (
+        lx.join(rx, on=keys)
+        .where((F.col("__ls") < F.col("__re")) & (F.col("__rs") < F.col("__le")))
+        .drop("__b")
+        .distinct()  # a pair overlaps in interval_len/bucket buckets
+    )
+    return joined

@@ -230,3 +230,70 @@ def q_asof_tolerance(spark, sf_dir):
         ts_str(F.col("asof_ts")).alias("prior_purchase_ts"),
         F.col("asof_value").alias("prior_purchase_value"),
     )
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               MIN(ts) AS s, MAX(ts) + INTERVAL 60 SECONDS AS e
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    incidents AS (
+        SELECT event_id AS incident_id, ts AS s, ts + INTERVAL 2 HOURS AS e
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT spans.user_id, spans.day,
+           COUNT(incidents.incident_id) AS n_overlapping_incidents
+    FROM spans LEFT JOIN incidents
+      ON spans.s < incidents.e AND incidents.s < spans.e
+    GROUP BY spans.user_id, spans.day
+    """,
+)
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (`operators/temporal.
+    interval_overlap_join_binned`): per-user daily activity spans
+    [first event, last event + 60 s) against global error-incident
+    windows [error ts, +2 h), counting incidents each user-day
+    overlapped. Both interval sets explode onto fixed 2-hour buckets
+    and meet in an equi-join on the bucket with the residual overlap
+    predicate — the nested-loop O(n*m) never materializes, fanout is
+    interval_len/bucket + 1 per row (the interval generalization of
+    q_range_join's point-in-range binning). The oracle is the direct
+    overlap-predicate join: completeness of the bucket decomposition
+    (any overlap instant's bucket is covered by both sides) is what
+    equality proves. LEFT-join semantics reconstructed by unioning
+    zero-count spans back in (the binned join emits pairs only)."""
+    from ..operators.temporal import interval_overlap_join_binned
+
+    e = t(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        epoch_seconds(F.min("ts")).alias("s0"),
+        (epoch_seconds(F.max("ts")) + F.lit(60.0)).alias("e0"),
+    )
+    incidents = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        epoch_seconds("ts").alias("is0"),
+        (epoch_seconds("ts") + F.lit(7200.0)).alias("ie0"),
+    )
+    pairs = interval_overlap_join_binned(
+        spans,
+        incidents,
+        left_start=F.col("s0"),
+        left_end=F.col("e0"),
+        right_start=F.col("is0"),
+        right_end=F.col("ie0"),
+        bucket_seconds=7200,
+    )
+    counts = pairs.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlapping_incidents")
+    )
+    # left-join semantics: spans with no overlapping incident
+    zero = (
+        spans.join(counts.select("user_id", "day"), ["user_id", "day"], "left_anti")
+        .select("user_id", "day", F.lit(0).cast("long").alias("n_overlapping_incidents"))
+    )
+    return counts.unionByName(zero)
