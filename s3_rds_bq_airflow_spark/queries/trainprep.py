@@ -980,3 +980,74 @@ def q_split_leakage_guard(spark, sf_dir):
         .cast("long")
         .alias("n_leaked_docs"),
     )
+
+
+_SAFE_SPLIT_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 17 = 0
+),
+assigned AS (
+    SELECT lang,
+           md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+           CASE WHEN substr(md5(md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')))), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')))), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM corpus
+),
+leak AS (
+    SELECT fp FROM assigned GROUP BY fp HAVING COUNT(DISTINCT split) > 1
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT fp) AS n_distinct_contents,
+       (SELECT COUNT(*) FROM leak) AS n_leaked_fingerprints
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@query("q_split_safe", oracle=_SAFE_SPLIT_ORACLE)
+def q_split_safe(spark, sf_dir):
+    """Leakage-FREE train/val/test split — the remediation
+    q_split_leakage_guard's audit calls for: assign splits by the
+    md5 of the CONTENT FINGERPRINT (not the doc id), so every copy of
+    identical content lands in the same split BY CONSTRUCTION. Same
+    planted-twin corpus that provably leaks under id-hash splitting;
+    here the audit column (leaked fingerprint count, computed the
+    same way) must be exactly 0 in every row — the query carries its
+    own proof. Emits per-split per-language doc and distinct-content
+    counts, the manifest a training run consumes.
+
+    Scale: the same stateless per-row expressions as the guard (two
+    md5s per row), one (fp, split) shuffle for the audit, one
+    (split, lang) aggregate. Nothing new to operate — just the right
+    hash key."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    twins = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.unionByName(twins)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    hex1 = F.substring(F.md5(fp), 1, 1)
+    split = (
+        F.when(hex1 < "c", "train").when(hex1 < "e", "val").otherwise("test")
+    )
+    assigned = corpus.select(
+        "lang", fp.alias("fp"), split.alias("split")
+    )
+    leak_count = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked_fingerprints"))
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_contents"),
+        )
+        .crossJoin(F.broadcast(leak_count))
+    )
