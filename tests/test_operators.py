@@ -284,3 +284,74 @@ def test_incremental_dedup_streaming_foreachbatch(spark, tmp_path):
     # 4 distinct contents, 30 docs total; min ids 0..3 survive.
     assert sorted(rows) == [0, 1, 2, 3]
     assert sum(rows.values()) == 30
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from s3_rds_bq_airflow_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "a"), (1, 5000.0, "b"), (2, 50.0, "c")],
+        "k long, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90.0, "r1"), (2, 60.0, "r2")], "k long, t double, v string"
+    )
+    out = {
+        r.tag: r.asof_v
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="t",
+            right_values=["v"],
+            strict=True,
+            tolerance_seconds=100.0,
+        ).collect()
+    }
+    assert out["a"] == "r1"      # 10s old, inside tolerance
+    assert out["b"] is None      # 4910s old -> nulled out
+    assert out["c"] is None      # right row is LATER, never matches
+
+
+def test_interval_overlap_equals_direct_predicate(spark):
+    """Binned overlap join == the direct nested predicate, including
+    touching-but-not-overlapping intervals and bucket boundaries."""
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_join_binned,
+    )
+
+    lefts = [(i, float(i * 50), float(i * 50 + 80)) for i in range(20)]
+    rights = [(j, float(j * 70 + 5), float(j * 70 + 40)) for j in range(15)]
+    ldf = spark.createDataFrame(lefts, "lid long, s double, e double")
+    rdf = spark.createDataFrame(rights, "rid long, s2 double, e2 double")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join_binned(
+            ldf.select("lid", "s", "e"),
+            rdf.select("rid", "s2", "e2"),
+            left_start=F.col("s"),
+            left_end=F.col("e"),
+            right_start=F.col("s2"),
+            right_end=F.col("e2"),
+            bucket_seconds=64,  # deliberately not aligned to intervals
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for (li, ls, le) in lefts
+        for (rj, rs, re) in rights
+        if ls < re and rs < le
+    }
+    assert got == want
+    # half-open: touching endpoints do NOT overlap
+    touch = interval_overlap_join_binned(
+        spark.createDataFrame([(1, 0.0, 10.0)], "lid long, s double, e double"),
+        spark.createDataFrame([(2, 10.0, 20.0)], "rid long, s2 double, e2 double"),
+        left_start=F.col("s"),
+        left_end=F.col("e"),
+        right_start=F.col("s2"),
+        right_end=F.col("e2"),
+        bucket_seconds=16,
+    )
+    assert touch.count() == 0
