@@ -1,8 +1,10 @@
 """Robustness probes for the driver contract, runnable standalone:
 
     python tools/robustness.py tz     # America/New_York session
+    python tools/robustness.py tz2    # Asia/Kolkata (half-hour offset)
     python tools/robustness.py par    # local[2], 3 shuffle partitions
-    python tools/robustness.py both
+    python tools/robustness.py both   # tz + par
+    python tools/robustness.py all    # tz + tz2 + par
 
 Each probe builds a VANILLA SparkSession with the perturbed config and
 re-checks every oracle-backed query against DuckDB at sf0.01. The
@@ -58,11 +60,17 @@ def _run(conf: dict[str, str], master: str) -> list[tuple[str, str]]:
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     rc = 0
-    if mode in ("tz", "both"):
+    if mode in ("tz", "both", "all"):
         bad = _run({"spark.sql.session.timeZone": "America/New_York"}, "local[8]")
         print(f"TZ probe: {'OK' if not bad else bad}")
         rc |= bool(bad)
-    if mode in ("par", "both"):
+    if mode in ("tz2", "all"):
+        # half-hour offset: breaks any bucket/epoch arithmetic that
+        # assumed whole-hour zones (time-binned joins, windows)
+        bad = _run({"spark.sql.session.timeZone": "Asia/Kolkata"}, "local[8]")
+        print(f"TZ2 (half-hour offset) probe: {'OK' if not bad else bad}")
+        rc |= bool(bad)
+    if mode in ("par", "both", "all"):
         bad = _run({"spark.sql.shuffle.partitions": "3"}, "local[2]")
         print(f"Parallelism probe: {'OK' if not bad else bad}")
         rc |= bool(bad)
