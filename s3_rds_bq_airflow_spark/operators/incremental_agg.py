@@ -89,10 +89,21 @@ def incremental_join(
     never-re-scan-history contract as ``incremental_aggregate``. This
     is what a stream-stream inner join's state store computes; here it
     is an explicit restartable batch operator with plain-parquet state
-    (``a/``, ``b/``, ``j/`` under ``state_dir``, each atomically
-    swapped). At warehouse scale the accumulated sides should be
-    written bucketed by the join key so the dA >< B probe co-locates
-    without a full shuffle of B.
+    (``a/``, ``b/``, ``j/`` under ``state_dir``). Deltas land as
+    APPENDED parquet files — history is neither re-read nor
+    re-written by a fold (an overwrite-and-swap would make every fold
+    O(|history|) I/O and the maintenance quadratic). The trade: a
+    fold is not a single atomic swap; a crash mid-fold can leave a
+    partial delta, so restart protocols should re-fold from the last
+    known-good batch (the ledger pattern, ``io/ledger.py``). At
+    warehouse scale the accumulated sides should be written bucketed
+    by the join key so the dA >< B probe co-locates without a full
+    shuffle of B.
+
+    Returns the full join view. Until BOTH sides have received rows
+    the true join schema may be unknowable: with one side only, the
+    returned (empty) frame has just that side's columns — capture the
+    view for schema-dependent work only once both sides exist.
 
     Insert-only deltas (the reference's append-style ingest,
     bec-aws-bq/s3-to-rds.py); retractions are the CDC tombstone
@@ -115,20 +126,19 @@ def incremental_join(
     for p in parts:
         delta_j = p if delta_j is None else delta_j.unionByName(p)
 
-    def _append(old: DataFrame | None, delta: DataFrame | None, path: str):
-        new = old
+    def _append(delta: DataFrame | None, path: str):
+        # True append: only the delta's files are written; existing
+        # state files are untouched (fold cost O(|delta|), not
+        # O(|history|)).
         if delta is not None:
-            new = delta if old is None else old.unionByName(delta)
-        if new is not None:
-            tmp = path.rstrip("/") + "__tmp"
-            new.write.mode("overwrite").parquet(tmp)
-            swap_directory(tmp, path)
+            delta.write.mode("append").parquet(path)
 
-    # Write the join view FIRST: delta_j lazily references the OLD
-    # a/ and b/ files, which the side swaps below delete.
-    _append(state["j"], delta_j, paths["j"])
-    _append(state["a"], delta_a, paths["a"])
-    _append(state["b"], delta_b, paths["b"])
+    # Write the join view FIRST: delta_j lazily references the a/ and
+    # b/ file listings captured at read time, and appending the side
+    # deltas below must not race ahead of materializing it.
+    _append(delta_j, paths["j"])
+    _append(delta_a, paths["a"])
+    _append(delta_b, paths["b"])
     if os.path.exists(paths["j"]):
         return spark.read.parquet(paths["j"])
     # No joinable rows yet (folds so far touched one side only):

@@ -77,6 +77,10 @@ def setsim_join(
     """
     pref = canonical_prefixes(elems, tau_num, tau_den)
     a, b = pref.alias("a"), pref.alias("b")
+    # Set sizes ride along from the prefix frame (every set has >= 1
+    # prefix row carrying sz) — re-aggregating them from ``elems``
+    # would cost a second corpus-sized shuffle for values the join
+    # already holds.
     cand = (
         a.join(
             b,
@@ -88,28 +92,24 @@ def setsim_join(
                 <= tau_den * F.least(F.col("a.sz"), F.col("b.sz"))
             ),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sz").alias("n_a"),
+            F.col("b.sz").alias("n_b"),
+        )
         .distinct()
     )
-    sizes = elems.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = elems.select(F.col("_id").alias("id_a"), "_h")
     sh_b = elems.select(F.col("_id").alias("id_b"), "_h")
     inter = (
         cand.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "_h"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"),
-            "id_b",
-        )
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        inter.withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         # integer-exact threshold: den * inter >= num * union
         .where(tau_den * F.col("n_inter") >= tau_num * F.col("n_union"))
         .select(

@@ -90,9 +90,15 @@ def asof_join(
     if tolerance_seconds is not None:
         t_type = right.schema[right_time].dataType
         if isinstance(t_type, (TimestampType, TimestampNTZType)):
-            age = (
-                F.unix_micros(F.col("__t").cast("timestamp"))
-                - F.unix_micros(F.col("__rv.__rt").cast("timestamp"))
+            # WALL-CLOCK age (timestampdiff over NTZ), not instant
+            # difference: converting NTZ through the session zone
+            # would shrink/stretch ages across DST transitions and
+            # diverge from the naive subtraction pandas merge_asof
+            # and the DuckDB oracle perform.
+            age = F.timestamp_diff(
+                "MICROSECOND",
+                F.col("__rv.__rt").cast("timestamp_ntz"),
+                F.col("__t").cast("timestamp_ntz"),
             ).cast("double") / F.lit(1e6)
         else:
             age = (F.col("__t") - F.col("__rv.__rt")).cast("double")
@@ -106,11 +112,21 @@ def asof_join(
 
 
 def epoch_seconds(col: str | Column) -> Column:
-    """Timestamp/NTZ -> exact epoch seconds (double). NTZ values are
-    pinned through the session zone identically on both sides of a
-    join, so bucket arithmetic stays consistent under any timezone."""
+    """Timestamp/NTZ -> WALL-CLOCK seconds since the naive epoch
+    (timestampdiff over NTZ, double). Deliberately NOT an instant
+    conversion: mapping naive wall times through the session zone is
+    non-monotonic inside DST gaps (02:30 on a spring-forward day maps
+    past 03:15), which could flip range/overlap predicates against
+    the oracles' naive comparisons. Wall-clock arithmetic is
+    timezone-independent and order-isomorphic to the naive timestamps
+    themselves, under ANY driver session zone — including half-hour
+    offsets (the tz2 robustness probe)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c.cast("timestamp")).cast("double") / F.lit(1e6)
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    ).cast("double") / F.lit(1e6)
 
 
 def range_join_binned(
@@ -163,8 +179,9 @@ def interval_overlap_join_binned(
     ``on``. The interval generalization of ``range_join_binned``:
     BOTH sides explode to the fixed time buckets they cover, the join
     is an equi-join on (key, bucket) with the residual overlap
-    predicate, and pairs sharing several buckets are deduplicated by
-    a distinct on the carried columns. Fanout per row is
+    predicate, and each pair is emitted exactly once by keeping only
+    the first bucket the two intervals share (no distinct — duplicate
+    input rows are preserved as distinct pairs). Fanout per row is
     interval_len/bucket + 1 — a constant when ``bucket_seconds`` is
     chosen near the typical interval length — so the nested-loop
     O(n*m) never materializes at any scale.
@@ -187,10 +204,20 @@ def interval_overlap_join_binned(
         .withColumn("__b", F.explode(F.sequence(rb, rub)))
     )
     keys = ["__b"] if on is None else [on, "__b"]
+    # A pair overlapping k buckets would emit k times; keep only the
+    # FIRST bucket both intervals cover — floor(max(start,start)/b) —
+    # so each pair emits exactly once. This replaces a full-row
+    # distinct(), which would both shuffle every carried column over
+    # the fanned-out join output AND silently collapse genuinely
+    # duplicate input rows (two identical measurement intervals must
+    # yield two pairs).
+    first_common = F.floor(
+        F.greatest(F.col("__ls"), F.col("__rs")) / bucket_seconds
+    ).cast("long")
     joined = (
         lx.join(rx, on=keys)
         .where((F.col("__ls") < F.col("__re")) & (F.col("__rs") < F.col("__le")))
+        .where(F.col("__b") == first_common)
         .drop("__b")
-        .distinct()  # a pair overlaps in interval_len/bucket buckets
     )
     return joined

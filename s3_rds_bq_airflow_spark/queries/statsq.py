@@ -637,24 +637,29 @@ def q_mad_outliers(spark, sf_dir):
         F.max("n").alias("n"),
         F.avg(F.when(is_mid, F.col("value"))).alias("med"),
     )
+    # med/n ride along on the deviation frame so the final aggregate
+    # needs only the MAD join — not a second events-scan-plus-med-join
+    # subtree.
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
+        "n",
+        "med",
         F.abs(F.col("value") - F.col("med")).alias("d"),
     )
     w_dord = Window.partitionBy("event_type").orderBy("d", "event_id")
     dord = dev.select(
         "event_type",
+        "n",
+        "med",
         "d",
         F.row_number().over(w_dord).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
     )
     mad = dord.groupBy("event_type").agg(
         F.avg(F.when(is_mid, F.col("d"))).alias("mad")
     )
     return (
-        dev.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
+        dord.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "n", "med", "mad")
         .agg(
             F.sum(

@@ -842,7 +842,7 @@ WITH counts AS (
 mn AS (SELECT MIN(n_l) AS n_min FROM counts),
 keyed AS (
     SELECT d.doc_id, d.lang, c.n_l, mn.n_min,
-           list_reduce(list_transform(range(1, 11), j ->
+           list_reduce(list_transform(range(1, 9), j ->
                CAST(strpos('0123456789abcdef',
                     substr(md5(CAST(d.doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
                AS BIGINT)), (acc, x) -> acc * 16 + x) AS h
@@ -851,7 +851,7 @@ keyed AS (
 kept AS (
     SELECT lang, n_l, n_min,
            CASE WHEN CAST(h AS HUGEINT) * h * n_l
-                     < CAST(1099511627776 AS HUGEINT) * 1099511627776 * n_min
+                     < CAST(4294967296 AS HUGEINT) * 4294967296 * n_min
                 THEN 1 ELSE 0 END AS keep
     FROM keyed
 )
@@ -873,7 +873,7 @@ def q_temperature_sampling(spark, sf_dir):
     decision is the same deterministic md5-threshold filter as
     ``operators/mixing`` (stateless, reproducible, pushdown-able),
     but with DATA-DERIVED rates — and the sqrt never gets computed:
-    keep iff h^2 * n_l < 2^80 * n_min over a 40-bit md5 fold, the
+    keep iff h^2 * n_l < 2^64 * n_min over a 32-bit md5 fold, the
     square of the threshold inequality, so the whole decision is
     EXACT integer arithmetic (Spark bounded decimals / DuckDB
     hugeint) with zero transcendentals to diverge by an ulp.
@@ -884,18 +884,24 @@ def q_temperature_sampling(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     n_min = counts.agg(F.min("n_l").alias("n_min"))
+    # 32-bit hash + decimal(12,0) counts: every product stays inside
+    # decimal(34,0) with NO precision capping, so the comparison is
+    # exact up to 10^12 documents per language (granularity 2^-32).
+    # A 40-bit hash with wider counts would cap at precision 38 and
+    # silently overflow-to-NULL around 10^8 docs (non-ANSI), dropping
+    # whole languages.
     h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
-    ).cast("decimal(13,0)")
-    big = F.lit(2**40).cast("decimal(13,0)")
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("decimal(10,0)")
+    big = F.lit(2**32).cast("decimal(10,0)")
     keyed = (
         docs.join(F.broadcast(counts), "lang")
         .crossJoin(F.broadcast(n_min))
         .withColumn(
             "keep",
             F.when(
-                h * h * F.col("n_l").cast("decimal(8,0)")
-                < big * big * F.col("n_min").cast("decimal(8,0)"),
+                h * h * F.col("n_l").cast("decimal(12,0)")
+                < big * big * F.col("n_min").cast("decimal(12,0)"),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
