@@ -43,8 +43,39 @@ HEADLINE = [
 ]
 
 
+def wait_for_idle(threshold: float = 1.0, max_wait_s: float = 600.0) -> float:
+    """Block (bounded) until the 1-min load average drops below
+    ``threshold``; return seconds actually waited.
+
+    Three consecutive rounds of driver bench records absorbed ambient
+    load (load_avg ~3 inflating totals 17-49%) that later idle-box
+    re-runs disproved. Deferring the measurement is cheaper than
+    adjudicating it afterward. Opt out with SPARK_GRAFT_BENCH_NOWAIT=1.
+    """
+    if os.environ.get("SPARK_GRAFT_BENCH_NOWAIT"):
+        return 0.0
+    waited = 0.0
+    while waited < max_wait_s:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return waited
+        if load1 < threshold:
+            return waited
+        time.sleep(10.0)
+        waited += 10.0
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    waited_s = wait_for_idle()
+    try:
+        # Ambient load BEFORE the bench's own work inflates it — the
+        # end-of-run load_avg field includes the bench itself.
+        load_avg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg_start = None
     from s3_rds_bq_airflow_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -101,6 +132,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "load_avg": load_avg,
+                "load_avg_start": load_avg_start,
+                "waited_s": round(waited_s, 1),
                 "methodology": "per-query steady-state (2nd run timed; codegen warm)",
             }
         )

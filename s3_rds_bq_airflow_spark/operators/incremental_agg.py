@@ -108,6 +108,15 @@ def incremental_join(
     Insert-only deltas (the reference's append-style ingest,
     bec-aws-bq/s3-to-rds.py); retractions are the CDC tombstone
     path (operators/merge.py) applied before the fold.
+
+    **Deltas must be deterministic under re-evaluation.** Each delta
+    DataFrame is evaluated more than once per fold (the delta-join
+    write to ``j/``, then the side append to ``a//b/``); a
+    nondeterministic delta — ``rand()``, a ``limit()`` without an
+    order, a re-read of a source mutating mid-fold — would leave the
+    join view inconsistent with the side state. Pre-materialize such
+    deltas first (``df.localCheckpoint()`` or a parquet round-trip),
+    the same caveat as a crash between the ``j/`` and side writes.
     """
     on = list(on)
     paths = {k: os.path.join(state_dir, k) for k in ("a", "b", "j")}

@@ -188,15 +188,39 @@ def interval_overlap_join_binned(
 
     Times are epoch-second expressions (``epoch_seconds``). Start/end
     land in output as ``__ls/__le/__rs/__re`` for downstream use.
+
+    Malformed intervals (``end < start``) raise at execution rather
+    than silently producing a descending ``F.sequence`` bucket list
+    (which would bucket the pair wrongly and drop overlaps).
     """
-    lb = F.floor(left_start / bucket_seconds).cast("long")
+
+    def _checked_lo(start: Column, end: Column, side: str) -> Column:
+        # Folded into the USED bucket expression (not a dropped audit
+        # column) so column pruning cannot optimize the check away.
+        lo = F.floor(start / bucket_seconds).cast("long")
+        return F.when(start <= end, lo).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join_binned: {side} interval has "
+                        "end < start (start="
+                    ),
+                    start.cast("string"),
+                    F.lit(", end="),
+                    end.cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+
+    lb = _checked_lo(left_start, left_end, "left")
     ub = F.floor(left_end / bucket_seconds).cast("long")
     lx = (
         left.withColumn("__ls", left_start)
         .withColumn("__le", left_end)
         .withColumn("__b", F.explode(F.sequence(lb, ub)))
     )
-    rb = F.floor(right_start / bucket_seconds).cast("long")
+    rb = _checked_lo(right_start, right_end, "right")
     rub = F.floor(right_end / bucket_seconds).cast("long")
     rx = (
         right.withColumn("__rs", right_start)

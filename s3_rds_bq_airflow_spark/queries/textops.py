@@ -832,6 +832,62 @@ def _bpe_top_pair(words, weight=None):
     )
 
 
+def bpe_vocab(spark, sf_dir):
+    """The weighted word dictionary (wn, s): distinct normalized words
+    with occurrence counts, each word rendered as its separator-wrapped
+    character sequence. The ONE corpus-sized aggregate in BPE learning;
+    every merge round after it touches vocabulary-sized data only."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(
+            "wn",
+            F.concat(
+                F.lit(_US),
+                F.concat_ws(_US + _US, F.split(F.col("w"), "")),
+                F.lit(_US),
+            ).alias("s"),
+        )
+    )
+
+
+def learn_bpe_merges(vocab, n_merges: int, checkpoint_every: int = 8):
+    """Deep BPE merge learning over the weighted word dictionary.
+
+    Each round: one vocabulary-sized pair-count aggregate, a ONE-row
+    collect of the argmax pair (bounded scalar, the same class as a
+    config lookup), and a literal ``replace`` over the vocabulary.
+    The vocabulary's lineage is truncated every ``checkpoint_every``
+    rounds with an eager ``localCheckpoint`` so the literal-replace
+    chain cannot grow the Catalyst plan unboundedly — a real tokenizer
+    run is ~30k sequential merges, and without truncation both plan
+    analysis time and the re-evaluated replace chain grow linearly per
+    round (quadratic overall). On a multi-executor cluster, swap
+    ``localCheckpoint`` for a reliable checkpoint directory or a
+    parquet round-trip; the algebra is unchanged.
+
+    Returns ``(merges, vocab)``: the ordered list of (pattern,
+    replacement) pairs learned, and the merged vocabulary DataFrame.
+    Stops early if no pair occurs twice or the vocabulary has no
+    multi-token words left.
+    """
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        rows = _bpe_top_pair(vocab, weight="wn").collect()
+        if not rows:
+            break
+        pat, repl = rows[0]["pat"], rows[0]["repl"]
+        merges.append((pat, repl))
+        vocab = vocab.select(
+            "wn", F.replace(F.col("s"), F.lit(pat), F.lit(repl)).alias("s")
+        )
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
 @query("q_bpe_merges", oracle=_ORACLE_BPE)
 def q_bpe_merges(spark, sf_dir):
     """Two rounds of distributed BPE merge learning (Sennrich et al.
@@ -855,20 +911,7 @@ def q_bpe_merges(spark, sf_dir):
     # touches vocabulary-sized data. The oracle replays the full
     # occurrence stream, so hash equality proves the two are the same
     # algebra (sum of per-word counts == corpus pair count).
-    vocab = (
-        t(spark, sf_dir, "documents")
-        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wn"))
-        .select(
-            "wn",
-            F.concat(
-                F.lit(_US),
-                F.concat_ws(_US + _US, F.split(F.col("w"), "")),
-                F.lit(_US),
-            ).alias("s"),
-        )
-    )
+    vocab = bpe_vocab(spark, sf_dir)
     merges = []
     for _ in range(2):
         top = _bpe_top_pair(vocab, weight="wn")

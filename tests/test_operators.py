@@ -355,3 +355,27 @@ def test_interval_overlap_equals_direct_predicate(spark):
         bucket_seconds=16,
     )
     assert touch.count() == 0
+
+
+def test_interval_overlap_rejects_malformed_interval(spark):
+    """end < start raises at execution instead of silently generating
+    a descending bucket sequence (wrong buckets, dropped overlaps)."""
+    import pytest
+
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_join_binned,
+    )
+
+    bad = spark.createDataFrame([(1, 50.0, 10.0)], "lid long, s double, e double")
+    ok = spark.createDataFrame([(2, 0.0, 100.0)], "rid long, s2 double, e2 double")
+    out = interval_overlap_join_binned(
+        bad,
+        ok,
+        left_start=F.col("s"),
+        left_end=F.col("e"),
+        right_start=F.col("s2"),
+        right_end=F.col("e2"),
+        bucket_seconds=16,
+    )
+    with pytest.raises(Exception, match="end < start"):
+        out.collect()
