@@ -427,6 +427,135 @@ def q_geojson_geometries(spark, sf_dir):
     )
 
 
+@query(
+    "q_geojson_multi",
+    oracle="""
+    WITH base AS (
+        SELECT s_suppkey,
+               s_suppkey % 4 AS m,
+               CAST(s_suppkey % 360 - 180 AS VARCHAR) AS x,
+               CAST(s_suppkey % 180 - 90 AS VARCHAR) AS y,
+               CAST(s_suppkey % 360 - 179 AS VARCHAR) AS x1,
+               CAST(s_suppkey % 180 - 89 AS VARCHAR) AS y1
+        FROM supplier
+    ),
+    g AS (
+        SELECT s_suppkey, m,
+               CASE m
+                 WHEN 0 THEN '{"type":"MultiPoint","coordinates":[['
+                      || x || ',' || y || '],[' || x1 || ',' || y1 || ']]}'
+                 WHEN 1 THEN '{"type":"MultiLineString","coordinates":[[['
+                      || x || ',' || y || '],[' || x1 || ',' || y || ']],[['
+                      || x1 || ',' || y1 || '],[' || x || ',' || y1 || ']]]}'
+                 WHEN 2 THEN '{"type":"MultiPolygon","coordinates":[[[['
+                      || x || ',' || y || '],[' || x1 || ',' || y || '],['
+                      || x1 || ',' || y1 || '],[' || x || ',' || y || ']]]]}'
+                 ELSE '{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":['
+                      || x || ',' || y || ']},{"type":"LineString","coordinates":[['
+                      || x || ',' || y || '],[' || x1 || ',' || y1 || ']]}]}'
+               END AS geojson
+        FROM base
+    )
+    SELECT s_suppkey, geojson,
+           json_extract_string(geojson, '$.type') AS geom_type,
+           CAST(json_array_length(CASE WHEN m = 3
+                     THEN json_extract(geojson, '$.geometries')
+                     ELSE json_extract(geojson, '$.coordinates') END) AS BIGINT)
+               AS n_parts,
+           CAST(CASE m
+                 WHEN 0 THEN json_extract_string(geojson, '$.coordinates[0][0]')
+                 WHEN 1 THEN json_extract_string(geojson, '$.coordinates[0][0][0]')
+                 WHEN 2 THEN json_extract_string(geojson, '$.coordinates[0][0][0][0]')
+                 ELSE json_extract_string(geojson, '$.geometries[0].coordinates[0]')
+               END AS BIGINT) AS first_x,
+           CAST(CASE WHEN m = 2
+                     THEN json_extract_string(geojson, '$.coordinates[0][0][0]')
+                          = json_extract_string(geojson, '$.coordinates[0][0][3]')
+                     ELSE FALSE END AS BIGINT) AS ring_closed,
+           CASE WHEN m = 3
+                THEN json_extract_string(geojson, '$.geometries[1].type')
+                ELSE NULL END AS member1_type
+    FROM g
+    """,
+)
+def q_geojson_multi(spark, sf_dir):
+    """F6/S17 surface completion: ST_AsGeoJSON can emit ANY of the
+    seven RFC-7946 geometry types in the reference's scan projections
+    (`tap_mysql/sync_strategies/common.py:79-81`); with Point (
+    q_geojson_points) and LineString/Polygon (q_geojson_geometries)
+    covered, this adds the remaining four — MultiPoint,
+    MultiLineString, MultiPolygon, GeometryCollection — cycling by
+    key, coordinates key-derived integers for engine-portable text.
+    Parse-back proves well-formedness on both engines: type tag,
+    member/part count (geometries[] vs coordinates[] depth), the first
+    coordinate at each type's nesting depth, MultiPolygon ring
+    closure, and the collection's second member type. Pure JVM-side
+    string/JSON expressions — zero shuffle, scan-projection shaped."""
+    s = t(spark, sf_dir, "supplier")
+    m = F.col("s_suppkey") % 4
+    x = (F.col("s_suppkey") % 360 - 180).cast("string")
+    y = (F.col("s_suppkey") % 180 - 90).cast("string")
+    x1 = (F.col("s_suppkey") % 360 - 179).cast("string")
+    y1 = (F.col("s_suppkey") % 180 - 89).cast("string")
+
+    def pt(px, py):
+        return F.concat(F.lit("["), px, F.lit(","), py, F.lit("]"))
+
+    multipoint = F.concat(
+        F.lit('{"type":"MultiPoint","coordinates":['),
+        pt(x, y), F.lit(","), pt(x1, y1), F.lit("]}"),
+    )
+    multiline = F.concat(
+        F.lit('{"type":"MultiLineString","coordinates":[['),
+        pt(x, y), F.lit(","), pt(x1, y), F.lit("],["),
+        pt(x1, y1), F.lit(","), pt(x, y1), F.lit("]]}"),
+    )
+    multipoly = F.concat(
+        F.lit('{"type":"MultiPolygon","coordinates":[[['),
+        pt(x, y), F.lit(","), pt(x1, y), F.lit(","), pt(x1, y1), F.lit(","), pt(x, y),
+        F.lit("]]]}"),
+    )
+    collection = F.concat(
+        F.lit('{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":['),
+        x, F.lit(","), y,
+        F.lit(']},{"type":"LineString","coordinates":['),
+        pt(x, y), F.lit(","), pt(x1, y1), F.lit("]}]}"),
+    )
+    geojson = (
+        F.when(m == 0, multipoint)
+        .when(m == 1, multiline)
+        .when(m == 2, multipoly)
+        .otherwise(collection)
+    )
+    n_parts = F.json_array_length(
+        F.when(m == 3, F.get_json_object(geojson, "$.geometries")).otherwise(
+            F.get_json_object(geojson, "$.coordinates")
+        )
+    ).cast("long")
+    first_x = (
+        F.when(m == 0, F.get_json_object(geojson, "$.coordinates[0][0]"))
+        .when(m == 1, F.get_json_object(geojson, "$.coordinates[0][0][0]"))
+        .when(m == 2, F.get_json_object(geojson, "$.coordinates[0][0][0][0]"))
+        .otherwise(F.get_json_object(geojson, "$.geometries[0].coordinates[0]"))
+        .cast("long")
+    )
+    ring_closed = F.when(
+        m == 2,
+        F.get_json_object(geojson, "$.coordinates[0][0][0]")
+        == F.get_json_object(geojson, "$.coordinates[0][0][3]"),
+    ).otherwise(F.lit(False))
+    member1_type = F.when(m == 3, F.get_json_object(geojson, "$.geometries[1].type"))
+    return s.select(
+        "s_suppkey",
+        geojson.alias("geojson"),
+        F.get_json_object(geojson, "$.type").alias("geom_type"),
+        n_parts.alias("n_parts"),
+        first_x.alias("first_x"),
+        ring_closed.cast("long").alias("ring_closed"),
+        member1_type.alias("member1_type"),
+    )
+
+
 # UUIDv3 bit surgery: nibble 13 is the version ('3' = name-based MD5),
 # nibble 17 carries the variant ((n & 0x3) | 0x8 -> 8/9/a/b).
 _UUID_VARIANT_SQL = """CASE WHEN SUBSTRING(h, 17, 1) IN ('0','4','8','c') THEN '8'

@@ -1,0 +1,114 @@
+"""State-store behavior at the 100 TB posture's key scale.
+
+The other streaming tests drive applyInPandasWithState on toy key
+counts; this one runs 10^5 distinct keys through the RocksDB provider
+with BOUNDED memory (16 MB — state must evict from the block cache /
+memtables to SST files), changelog checkpointing on, and a query
+restart between waves. Converging to exact per-key totals proves the
+state round-trips through eviction, checkpoint, and recovery — the
+mechanics a 1000-executor job relies on when per-key state exceeds
+executor memory. (~3 min; the cost is the documented per-key Python
+dispatch of applyInPandasWithState, not the state store.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from s3_rds_bq_airflow_spark.streaming import read_event_stream, running_user_totals
+
+N_KEYS = 100_000
+
+_ROCKS_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # force eviction: the ~100k-key state may not sit in 16 MB of
+    # memtable+cache, so blocks spill to SST files mid-batch
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "16",
+    # incremental checkpoints: upload changelogs, not full SST sets
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def _write_wave(spark, base: str, land: str, i: int) -> None:
+    """One micro-batch file: every key 0..N-1 exactly once."""
+    tmp = os.path.join(base, f"w{i}")
+    (
+        spark.range(N_KEYS)
+        .select(
+            (F.col("id") + i * N_KEYS).alias("event_id"),
+            F.lit("2024-01-02 10:00:00").cast("timestamp").alias("ts"),
+            F.col("id").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), os.path.join(land, f"wave{i}.parquet"))
+
+
+def _run(spark, land: str, out: str, ckpt: str) -> None:
+    stream = read_event_stream(spark, land, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(520)
+    assert not q.isActive
+
+
+def test_high_cardinality_state_restart_under_eviction(spark, tmp_path):
+    base = str(tmp_path)
+    land = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(land)
+
+    prev = {k: spark.conf.get(k, None) for k in _ROCKS_CONFS}
+    for k, v in _ROCKS_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # run 1: two waves, one micro-batch each
+        _write_wave(spark, base, land, 0)
+        _write_wave(spark, base, land, 1)
+        _run(spark, land, out, ckpt)
+
+        # run 2: a third wave against the SAME checkpoint — state for
+        # all 10^5 keys must recover from the changelog checkpoint
+        _write_wave(spark, base, land, 2)
+        _run(spark, land, out, ckpt)
+
+        final = (
+            spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n"),
+                F.max("total_value_cents").alias("cents"),
+            )
+        )
+        agg = final.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum((F.col("n") != 3).cast("int")).alias("bad_n"),
+            F.sum((F.col("cents") != 300).cast("int")).alias("bad_cents"),
+        ).first()
+        assert agg["keys"] == N_KEYS
+        assert agg["bad_n"] == 0
+        assert agg["bad_cents"] == 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

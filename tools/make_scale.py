@@ -10,8 +10,15 @@ piling onto the same keys. Dimension tables (region, nation) are
 copied once, unshifted, and every fact row keeps its original
 nationkey — at 100 TB those stay broadcast-sized dims.
 
-Copy 0 keeps original keys, so the scaled directory is a superset of
-the source. Output preserves the source's physical parquet schema
+Content tables (documents, embeddings) additionally get a
+deterministic per-copy content perturbation (word de-interleave /
+component rotation) so texts and vectors don't replicate verbatim —
+verbatim clones would pile `copies` identical items into the same
+minhash/LSH buckets and hand every content-similarity operator a
+quadratic clone-pair blowup real growth never produces.
+
+Copy 0 keeps original keys and content, so the scaled directory is a
+superset of the source. Output preserves the source's physical parquet schema
 (including the events table's TIMESTAMP(NANOS) ts column) by writing
 through pyarrow with format version 2.6 and streams one copy at a
 time, so building sf10 (100x sf0.1) never holds more than one source
@@ -109,6 +116,76 @@ def shifted(tbl: pa.Table, k: int, strides: dict[str, int]) -> pa.Table:
     return tbl
 
 
+# -- content decorrelation -------------------------------------------------
+#
+# Key strides keep JOIN fanout realistic, but CONTENT replicated
+# verbatim is its own scale disease: every text/embedding appearing
+# `copies` times piles clones into the same minhash/simhash/LSH
+# buckets, so content-similarity operators face a quadratic
+# clone-pair blowup (bucket pair volume ~ copies^2 per original row)
+# that real growth — mostly NEW content plus the usual within-corpus
+# duplication — never produces. Each copy k>0 therefore gets a
+# deterministic content perturbation: copy 0 keeps the originals
+# (with their planted twins) bit-for-bit, and every copy remains an
+# internally-isomorphic corpus, so per-copy duplicate/near-dup
+# structure still scales linearly like the other tables.
+
+
+def _deinterleave(words: list, times: int) -> list:
+    # deterministic pseudo-shuffle: k applications of the
+    # de-interleave permutation scatter word ADJACENCY (so shingle /
+    # n-gram / minhash overlap across copies collapses) while
+    # preserving the word multiset (token counts, vocabulary, and
+    # per-word stats stay copy-invariant)
+    for _ in range(times):
+        words = words[::2] + words[1::2]
+    return words
+
+
+def perturb_documents(tbl: pa.Table, k: int) -> pa.Table:
+    if k == 0:
+        return tbl
+    texts = tbl.column("text").to_pylist()
+    out = [
+        None if t is None else " ".join(_deinterleave(t.split(" "), k))
+        for t in texts
+    ]
+    tbl = tbl.set_column(
+        tbl.column_names.index("text"), "text", pa.array(out, pa.string())
+    )
+    if "n_chars" in tbl.column_names:
+        n = [None if t is None else len(t) for t in out]
+        idx = tbl.column_names.index("n_chars")
+        tbl = tbl.set_column(
+            idx, "n_chars", pc.cast(pa.array(n), tbl.column(idx).type)
+        )
+    return tbl
+
+
+def perturb_embeddings(tbl: pa.Table, k: int) -> pa.Table:
+    if k == 0:
+        return tbl
+    # rotate each vector's components by a per-copy offset: norms and
+    # per-dimension value distributions are preserved, but directions
+    # decorrelate across copies (cosine ~ random), so LSH/IVF buckets
+    # spread instead of stacking `copies` identical vectors
+    idx = tbl.column_names.index("embedding")
+    col = tbl.column(idx)
+    typ = col.type
+    vecs = col.to_pylist()
+    out = []
+    for v in vecs:
+        if v is None or len(v) == 0:
+            out.append(v)
+            continue
+        r = (k * 7) % len(v)
+        out.append(v[r:] + v[:r])
+    return tbl.set_column(idx, "embedding", pa.array(out, typ))
+
+
+PERTURB = {"documents": perturb_documents, "embeddings": perturb_embeddings}
+
+
 def build(src: str, dest: str, copies: int) -> None:
     os.makedirs(dest, exist_ok=True)
     strides = family_strides(src)
@@ -120,9 +197,10 @@ def build(src: str, dest: str, copies: int) -> None:
         tbl = pq.read_table(spath)
         dpath = os.path.join(dest, f"{t}.parquet")
         n = 1 if t in COPY_ONCE else copies
+        perturb = PERTURB.get(t, lambda x, k: x)
         with pq.ParquetWriter(dpath, tbl.schema, version="2.6") as w:
             for k in range(n):
-                w.write_table(shifted(tbl, k, strides))
+                w.write_table(perturb(shifted(tbl, k, strides), k))
         print(f"{t}: {tbl.num_rows} x {n} -> {dpath}")
 
 
