@@ -89,18 +89,32 @@ from ..operators.similarity import _hyperplanes_q6
 
 _PLANES_Q6 = _hyperplanes_q6(64, 8)
 
-_PLANES_VALUES = ",\n        ".join(
-    f"({pid},{i},{c})"
-    for pid, plane in enumerate(_PLANES_Q6)
-    for i, c in enumerate(plane, start=1)
-)
+# Pair-join queries (near-dup, semantic dedup) use MORE planes than
+# the probe-style ANN: their cost is bucket-occupancy-QUADRATIC
+# (candidate pairs ~ sum over buckets of C(occupancy, 2)), so the
+# bucket count must track corpus size — fixed 8-bit buckets went
+# quadratic at the sf1 scale step (20k vectors / 256 buckets = 81 per
+# bucket = 830k exact-decimal cosines). 16 planes = 65k buckets keeps
+# occupancy ~1 at the test SFs; production sizes n_planes from the
+# corpus (the operator parameterizes it). Near-collinear pairs
+# (cosine >= 0.999) co-bucket at any plane count — a hyperplane
+# separates them only when a projection sits within the perturbation
+# of zero.
+_PLANES_Q6_16 = _hyperplanes_q6(64, 16)
 
-# Shared oracle CTEs: exact-decimal elements, plane table, per-vector
-# projections, and 8-bit bucket ids over an arbitrary `corpus` CTE
-# (vec_id, embedding).
-_BUCKET_CTES = f"""
+
+def _bucket_ctes(plane_strs: list[list[str]]) -> str:
+    """Oracle CTEs: exact-decimal elements, plane table, per-vector
+    projections, and sign-bit bucket ids over an arbitrary `corpus`
+    CTE (vec_id, embedding)."""
+    planes_values = ",\n        ".join(
+        f"({pid},{i},{c})"
+        for pid, plane in enumerate(plane_strs)
+        for i, c in enumerate(plane, start=1)
+    )
+    return f"""
 planes_raw(plane_id, i, coef) AS (VALUES
-        {_PLANES_VALUES}),
+        {planes_values}),
 planes AS (
     SELECT plane_id, i, CAST(coef AS DECIMAL(10,6)) AS coef FROM planes_raw
 ),
@@ -120,6 +134,10 @@ buckets AS (
            CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS bucket
     FROM proj GROUP BY 1
 )"""
+
+
+_BUCKET_CTES = _bucket_ctes(_PLANES_Q6)
+_BUCKET_CTES_16 = _bucket_ctes(_PLANES_Q6_16)
 
 _ORACLE_ANN_LSH = f"""
 WITH corpus AS (
@@ -203,7 +221,7 @@ WITH corpus AS (
                           x -> CAST(CAST(x AS DOUBLE) * CAST(1.0001 AS DOUBLE) AS FLOAT))
     FROM embeddings WHERE vec_id % 29 = 0
 ),
-{_BUCKET_CTES},
+{_BUCKET_CTES_16},
 pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM buckets a JOIN buckets b
@@ -261,7 +279,7 @@ def q_embedding_neardup(spark, sf_dir):
     bucketed = corpus.select(
         "vec_id",
         "embedding",
-        signed_projection_bucket_exact(F.col("embedding"), _PLANES_Q6).alias("bucket"),
+        signed_projection_bucket_exact(F.col("embedding"), _PLANES_Q6_16).alias("bucket"),
     ).persist()
     left, right = bucketed.alias("l"), bucketed.alias("r")
     return (
@@ -466,7 +484,7 @@ WITH corpus AS (
                           x -> CAST(CAST(x AS DOUBLE) * CAST(1.0001 AS DOUBLE) AS FLOAT))
     FROM embeddings WHERE vec_id % 29 = 0
 ),
-{_BUCKET_CTES},
+{_BUCKET_CTES_16},
 pairs AS (
     SELECT a.vec_id AS id_keep, b.vec_id AS id_drop
     FROM buckets a JOIN buckets b
@@ -521,7 +539,7 @@ def q_semantic_dedup(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionByName(twins)
-    return semantic_dedup_keep_one(corpus, threshold=0.999, exact=True)
+    return semantic_dedup_keep_one(corpus, threshold=0.999, n_planes=16, exact=True)
 
 
 # ---------------------------------------------------------------------------

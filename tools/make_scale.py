@@ -186,11 +186,11 @@ def perturb_embeddings(tbl: pa.Table, k: int) -> pa.Table:
 PERTURB = {"documents": perturb_documents, "embeddings": perturb_embeddings}
 
 
-def build(src: str, dest: str, copies: int) -> None:
+def build(src: str, dest: str, copies: int, tables: tuple[str, ...] = TABLES) -> None:
     os.makedirs(dest, exist_ok=True)
     strides = family_strides(src)
     print(f"strides: {strides}")
-    for t in TABLES:
+    for t in tables:
         spath = os.path.join(src, f"{t}.parquet")
         if not os.path.exists(spath):
             continue
@@ -209,8 +209,15 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", required=True)
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=list(TABLES),
+        help="subset of tables to build (e.g. a perf-only step that "
+        "exercises just the documents-based operators)",
+    )
     args = ap.parse_args()
-    build(args.src, args.dest, args.copies)
+    build(args.src, args.dest, args.copies, tuple(args.tables))
 
 
 if __name__ == "__main__":
