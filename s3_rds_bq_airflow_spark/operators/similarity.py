@@ -195,11 +195,14 @@ def knn_join(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exact: bool = True,
+    exact: bool | str = True,
     exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """k-NN similarity JOIN: for each probe vector, its k nearest
-    corpus neighbors by cosine (self-pairs excluded;
+    corpus neighbors by cosine. ``exact``: True = exact-decimal
+    cosine, False = double throughput gear, ``"int3"`` = scale-3
+    integer quantization whose cosine doubles are bit-identical
+    cross-engine (the hash-oracle gear). Self-pairs excluded;
     ``exclude_pairs`` — a (probe_id, excluded_id) frame — removes
     additional known-positive pairs BEFORE ranking, the hard-negative
     mining contract: ranks are over the eligible set, not filtered
@@ -214,13 +217,39 @@ def knn_join(
     """
     from pyspark.sql import Window as W
 
-    p = F.broadcast(
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvec"))
-    )
-    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_pvec"))
+    if exact == "int3":
+        # Portable integer gear (the IVF/PQ recipe): vectors quantized
+        # to scale-3 longs with identical IEEE steps in both engines,
+        # dots/norms as exact integer sums, cosine as a double derived
+        # from exact integers (all < 2^53, so the divide/sqrt chain is
+        # bit-identical cross-engine). Decimal-cast cosines carry a
+        # ~1e-8 float->DECIMAL(12,8) representation skew that lands on
+        # a 6-dp rounding boundary once enough pairs exist — caught by
+        # the sf1 parity sweep (round 6).
+        from .ivf import _dot_exact, _quantize_long  # function-level: ivf imports this module
+
+        p = F.broadcast(
+            probes.select(
+                F.col(id_col).alias("probe_id"),
+                _quantize_long(F.col(vec_col)).alias("_pvec"),
+            ).withColumn("_pn2", _dot_exact("_pvec", "_pvec").cast("double"))
+        )
+        corpus = embeddings.select(
+            F.col(id_col), _quantize_long(F.col(vec_col)).alias("_qvec")
+        ).withColumn("_n2", _dot_exact("_qvec", "_qvec").cast("double"))
+        cos = _dot_exact("_qvec", "_pvec").cast("double") / F.sqrt(
+            F.col("_n2") * F.col("_pn2")
+        )
+        src = corpus
+    else:
+        p = F.broadcast(
+            probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvec"))
+        )
+        cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_pvec"))
+        src = embeddings
     w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     scored = (
-        embeddings.crossJoin(p)
+        src.crossJoin(p)
         .where(F.col(id_col) != F.col("probe_id"))
         .select(
             "probe_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")

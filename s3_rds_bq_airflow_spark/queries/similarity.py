@@ -308,36 +308,40 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 _KNN_ORACLE = """
-WITH p AS (
-    SELECT vec_id AS probe_id, unnest(embedding) AS px, generate_subscripts(embedding, 1) AS i
-    FROM embeddings WHERE vec_id % 100 = 0
-),
-e AS (
-    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
     FROM embeddings
 ),
+e AS (
+    SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM q
+),
+p AS (
+    SELECT vec_id AS probe_id, x AS px, i FROM e WHERE vec_id % 100 = 0
+),
+norms AS (
+    SELECT vec_id, SUM(CAST(x AS HUGEINT) * x) AS n2 FROM e GROUP BY 1
+),
 dots AS (
-    SELECT p.probe_id, e.vec_id,
-           CAST(SUM(CAST(e.x AS DECIMAL(12,8)) * CAST(p.px AS DECIMAL(12,8))) AS DOUBLE) AS dot
+    SELECT p.probe_id, e.vec_id, SUM(CAST(e.x AS HUGEINT) * p.px) AS dot
     FROM e JOIN p ON e.i = p.i
     GROUP BY 1, 2
 ),
-norms AS (
-    SELECT vec_id,
-           CAST(SUM(CAST(x AS DECIMAL(12,8)) * CAST(x AS DECIMAL(12,8))) AS DOUBLE) AS n2
-    FROM e GROUP BY 1
-),
 scored AS (
     SELECT d.probe_id, d.vec_id AS neighbor_id,
-           d.dot / (SQRT(ne.n2) * SQRT(np.n2)) AS cosine,
+           CAST(d.dot AS DOUBLE) / SQRT(CAST(ne.n2 AS DOUBLE) * CAST(np.n2 AS DOUBLE)) AS cosine,
            ROW_NUMBER() OVER (PARTITION BY d.probe_id
-                              ORDER BY d.dot / (SQRT(ne.n2) * SQRT(np.n2)) DESC, d.vec_id) AS rn
+                              ORDER BY CAST(d.dot AS DOUBLE)
+                                       / SQRT(CAST(ne.n2 AS DOUBLE) * CAST(np.n2 AS DOUBLE))
+                                       DESC, d.vec_id) AS rn
     FROM dots d
       JOIN norms ne ON d.vec_id = ne.vec_id
       JOIN norms np ON d.probe_id = np.vec_id
     WHERE d.vec_id <> d.probe_id
 )
-SELECT probe_id, neighbor_id, ROUND(cosine, 6) AS cosine_r6
+SELECT probe_id, neighbor_id,
+       CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_q6
 FROM scored WHERE rn <= 3
 """
 
@@ -346,15 +350,26 @@ FROM scored WHERE rn <= 3
 def q_knn_join(spark, sf_dir):
     """k-NN similarity JOIN: top-3 cosine neighbors for every probe
     (vec_id % 100 == 0) — broadcast probes x stationary corpus scan,
-    per-probe window top-k. Exact decimal dots keep the ranking and
-    the oracle hash-tight (cosine reported rounded to 6 decimals,
-    same as q_cosine_topk_exact)."""
+    per-probe window top-k. Declared in the "int3" portable integer
+    gear (the IVF/PQ recipe): scale-3 quantized vectors, exact
+    integer dots/norms, cosine as a double derived from exact
+    integers (< 2^53, so the sqrt/divide chain is bit-identical
+    cross-engine), reported as the floor(x*1e6+0.5) integer. The
+    earlier DECIMAL(12,8) gear carried a ~1e-8 float-cast skew that
+    landed on a 6-dp ROUND boundary at the sf1 parity sweep (6 rows);
+    fixed-precision rounding of independently-computed values always
+    has that boundary — deriving ONE bit-identical double first does
+    not."""
     from ..operators.similarity import knn_join
 
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") % 100 == 0)
-    out = knn_join(emb, probes, 3, exact=True)
-    return out.select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r6"))
+    out = knn_join(emb, probes, 3, exact="int3")
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias("cosine_q6"),
+    )
 
 
 # ---------------------------------------------------------------------------
