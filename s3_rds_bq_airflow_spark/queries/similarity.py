@@ -842,36 +842,39 @@ WITH corpus AS (
     FROM embeddings WHERE vec_id % 29 = 0
 ),
 elems AS (
-    SELECT vec_id, CAST(x AS DECIMAL(12,8)) AS x, i
+    SELECT vec_id,
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x, i
     FROM (SELECT vec_id, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i
           FROM corpus) u
 ),
 probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 29 = 0),
 dots AS (
-    SELECT p.probe_id, e.vec_id,
-           CAST(SUM(e.x * q.x) AS DOUBLE) AS dot
+    SELECT p.probe_id, e.vec_id, SUM(CAST(e.x AS HUGEINT) * q.x) AS dot
     FROM probes p
       JOIN elems q ON q.vec_id = p.probe_id
       JOIN elems e ON e.i = q.i
     GROUP BY 1, 2
 ),
 norms AS (
-    SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS n2 FROM elems GROUP BY 1
+    SELECT vec_id, SUM(CAST(x AS HUGEINT) * x) AS n2 FROM elems GROUP BY 1
 ),
 scored AS (
     SELECT d.probe_id, d.vec_id AS neighbor_id,
-           d.dot / (SQRT(ne.n2) * SQRT(np.n2)) AS cosine,
+           CAST(d.dot AS DOUBLE)
+             / SQRT(CAST(ne.n2 AS DOUBLE) * CAST(np.n2 AS DOUBLE)) AS cosine,
            ROW_NUMBER() OVER (PARTITION BY d.probe_id
-                              ORDER BY d.dot / (SQRT(ne.n2) * SQRT(np.n2)) DESC,
-                                       d.vec_id) AS rn
+                              ORDER BY CAST(d.dot AS DOUBLE)
+                                       / SQRT(CAST(ne.n2 AS DOUBLE) * CAST(np.n2 AS DOUBLE))
+                                       DESC, d.vec_id) AS rn
     FROM dots d
       JOIN norms ne ON d.vec_id = ne.vec_id
       JOIN norms np ON d.probe_id = np.vec_id
     WHERE d.vec_id <> d.probe_id
       AND d.vec_id <> d.probe_id + 1000000
 )
-SELECT probe_id, neighbor_id, ROUND(cosine, 6) AS cosine_r6
+SELECT probe_id, neighbor_id,
+       CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_q6
 FROM scored WHERE rn <= 2
 """
 
@@ -885,8 +888,10 @@ def q_hard_negatives(spark, sf_dir):
     similarity rank over the eligible set (the exclusion happens
     BEFORE ranking, so a positive can never crowd a negative out of
     the top-k). Composes knn_join's broadcast-probe scan with its
-    exclude_pairs contract; exact decimal dots keep ranks and the
-    reported cosine hash-tight."""
+    exclude_pairs contract, in the "int3" portable integer gear —
+    output rows grow with the corpus (2 per anchor), the exposure
+    profile that made q_knn_join's decimal-cast rounding hit a 6-dp
+    boundary at the sf1 sweep."""
     from ..operators.similarity import knn_join
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -902,9 +907,11 @@ def q_hard_negatives(spark, sf_dir):
         F.col("vec_id").alias("probe_id"),
         (F.col("vec_id") + 1000000).alias("excluded_id"),
     )
-    out = knn_join(corpus, probes, 2, exact=True, exclude_pairs=positives)
+    out = knn_join(corpus, probes, 2, exact="int3", exclude_pairs=positives)
     return out.select(
-        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r6")
+        "probe_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias("cosine_q6"),
     )
 
 
