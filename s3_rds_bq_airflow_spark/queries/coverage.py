@@ -148,9 +148,10 @@ def q_ntile(spark, sf_dir):
            CAST(list_min(embedding) AS DOUBLE) AS min_elem,
            CAST(embedding[1] AS DOUBLE) AS first_elem,
            CAST(list_sort(list_slice(embedding, 1, 4))[4] AS DOUBLE) AS sorted4_last,
-           ROUND(CAST(list_sum(list_transform(list_slice(embedding, 1, 8),
-                                        x -> CAST(CAST(x AS DECIMAL(12,8)) * CAST(x AS DECIMAL(12,8)) AS DECIMAL(38,16)))) AS DOUBLE), 6)
-             AS head8_energy_r6
+           CAST(list_sum(list_transform(list_slice(embedding, 1, 8),
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+                         * CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)))
+                AS BIGINT) AS head8_energy_q8
     FROM embeddings
     WHERE vec_id % 40 = 0
     """,
@@ -158,16 +159,19 @@ def q_ntile(spark, sf_dir):
 def q_array_funcs(spark, sf_dir):
     """Array function family (§2.8 'free in Spark'): size, min/max,
     element access, slice+sort, and a transform/aggregate pipeline —
-    all JVM-side higher-order functions over array<float>. Combined
-    floats run in decimal and the result is rounded to 6 decimals on
-    both sides (float32->decimal quantization differs ~1e-8 between
-    engines — same convention as the similarity queries)."""
+    all JVM-side higher-order functions over array<float>. The energy
+    aggregate uses the scale-4 portable integer quantization (exact
+    BIGINT sum of squares, < 2^53): the earlier decimal-cast +
+    6-dp-round form hit a rounding boundary at the sf1 sweep — the
+    ~1e-8 float->DECIMAL representation skew between engines has no
+    safe fixed-precision rounding, only exact integers do."""
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 40 == 0)
     head8 = F.slice("embedding", 1, 8)
+    q = lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
     energy = F.aggregate(
-        F.transform(head8, lambda x: (x.cast("decimal(12,8)") * x.cast("decimal(12,8)")).cast("decimal(38,16)")),
-        F.lit(0).cast("decimal(38,16)"),
-        lambda acc, x: (acc + x).cast("decimal(38,16)"),
+        F.transform(head8, lambda x: q(x) * q(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     return e.select(
         "vec_id",
@@ -176,7 +180,7 @@ def q_array_funcs(spark, sf_dir):
         F.array_min("embedding").cast("double").alias("min_elem"),
         F.element_at("embedding", 1).cast("double").alias("first_elem"),
         F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 4).cast("double").alias("sorted4_last"),
-        F.round(energy.cast("double"), 6).alias("head8_energy_r6"),
+        energy.alias("head8_energy_q8"),
     )
 
 
