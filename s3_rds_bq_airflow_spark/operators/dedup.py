@@ -204,7 +204,7 @@ def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 60,
     *,
     exact: bool = False,
 ) -> DataFrame:
@@ -235,14 +235,24 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    bits: int = 32,
+    bits: int = 60,
     n_bands: int = 4,
     max_hamming: int = 6,
     exact: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share >= 1 of ``n_bands`` byte
-    bands (pigeonhole guarantee for small Hamming distances), then an
-    exact popcount(xor) filter. ``exact=True`` = portable hashes."""
+    """SimHash near-dup: candidates share >= 1 of ``n_bands`` bands
+    of ``bits/n_bands`` bits (pigeonhole guarantee for small Hamming
+    distances), then an exact popcount(xor) filter. ``exact=True`` =
+    portable md5-derived hashes (60 usable bits).
+
+    Band width IS the scale knob: candidate volume per band bucket is
+    quadratic in occupancy, so the band key space (2^width) must stay
+    ahead of the corpus. 60-bit signatures / 4 bands = 15-bit keys
+    (32k buckets per band); the original 32-bit/8-bit-band shape
+    flooded at the round-6 sf1 sweep — 50k docs / 256 buckets per
+    band = tens of millions of candidate pairs (driver maxResultSize
+    abort). At larger corpora, raise n_bands' width further (wider
+    signature) or shard the band join by key range."""
     sigs = simhash_signatures(df, text_col, id_col, bits, exact=exact)
     band_width = bits // n_bands
     bands = [

@@ -198,7 +198,7 @@ tokh AS (
 votes AS (
     SELECT doc_id, b.bit,
            SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
-    FROM tokh CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+    FROM tokh CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
     GROUP BY doc_id, b.bit
 ),
 sig AS (
@@ -207,7 +207,7 @@ sig AS (
     FROM votes GROUP BY doc_id
 ),
 banded AS (
-    SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+    SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS key
     FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) b
 ),
 cand AS (
@@ -226,11 +226,15 @@ ORDER BY id_a, id_b
 
 @query("q_dedup_simhash", oracle=_ORACLE_SIMHASH)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup (32-bit token-vote signature, 4-band candidate
-    join, Hamming <= 6) on the planted corpus, declared in exact mode:
+    """SimHash near-dup (60-bit token-vote signature, 4 bands x 15
+    bits, Hamming <= 6) on the planted corpus, declared in exact mode:
     portable md5-derived token hashes make the bit votes, packed
     signatures, band buckets, and Hamming distances identical in any
-    engine — checked against a DuckDB oracle (was rows-only)."""
+    engine — checked against a DuckDB oracle. 60-bit/15-bit-band shape
+    since round 6: the 32-bit/8-bit-band original had only 256 buckets
+    per band, so candidate pairs grew quadratically with the corpus
+    and flooded the sf1 sweep (see operators/dedup
+    .simhash_near_dup_pairs)."""
     pairs = simhash_near_dup_pairs(_augmented_corpus(spark, sf_dir), exact=True)
     return pairs.select(
         "id_a",

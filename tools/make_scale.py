@@ -131,15 +131,23 @@ def shifted(tbl: pa.Table, k: int, strides: dict[str, int]) -> pa.Table:
 # structure still scales linearly like the other tables.
 
 
-def _deinterleave(words: list, times: int) -> list:
-    # deterministic pseudo-shuffle: k applications of the
-    # de-interleave permutation scatter word ADJACENCY (so shingle /
-    # n-gram / minhash overlap across copies collapses) while
-    # preserving the word multiset (token counts, vocabulary, and
-    # per-word stats stay copy-invariant)
-    for _ in range(times):
+def _perturb_words(words: list, k: int) -> list:
+    # Two deterministic moves, each killing one similarity channel
+    # verbatim replication leaves wide open:
+    #  1. k applications of the de-interleave permutation scatter word
+    #     ADJACENCY, so shingle / n-gram / minhash overlap across
+    #     copies collapses;
+    #  2. every 3rd word gets the copy index appended, so the token
+    #     MULTISET also diverges (~33%) — without this, bag-of-words
+    #     operators (SimHash votes, set-similarity token sets) see
+    #     every doc `copies` times and their pair outputs go quadratic
+    #     (the round-6 sweep measured 120x pairs for 10x data).
+    # Token COUNT per doc is preserved, so length/packing/chunking
+    # distributions still scale linearly and realistically.
+    for _ in range(k):
         words = words[::2] + words[1::2]
-    return words
+    tag = str(k)
+    return [w + tag if i % 3 == 0 else w for i, w in enumerate(words)]
 
 
 def perturb_documents(tbl: pa.Table, k: int) -> pa.Table:
@@ -147,7 +155,7 @@ def perturb_documents(tbl: pa.Table, k: int) -> pa.Table:
         return tbl
     texts = tbl.column("text").to_pylist()
     out = [
-        None if t is None else " ".join(_deinterleave(t.split(" "), k))
+        None if t is None else " ".join(_perturb_words(t.split(" "), k))
         for t in texts
     ]
     tbl = tbl.set_column(
