@@ -29,8 +29,8 @@ from ._util import dec, dsum, t
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
@@ -42,7 +42,15 @@ from ._util import dec, dsum, t
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-style pricing summary: scan -> pushed filter ->
     partial+final hash aggregate. Decimal math keeps sums exact and
-    order-independent across any number of partitions."""
+    order-independent across any number of partitions.
+
+    The scale-4/6 currency sums are ROUNDed to 2 dp in the DECIMAL
+    domain before the double cast: decimal->double is engine-portable
+    only while the unscaled integer stays under 2^53 (DuckDB converts
+    int128/10^scale in two rounding steps; Spark rounds once), and the
+    scale-6 sum_charge crossed that at the round-6 sf1 sweep (1-ulp
+    split). At 2 dp the unscaled value re-enters exact-double range
+    through sf100."""
     li = t(spark, sf_dir, "lineitem")
     price = dec("l_extendedprice")
     one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
@@ -56,8 +64,8 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             sum_qty.alias("sum_qty"),
             sum_price.alias("sum_base_price"),
-            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
-            F.sum(price * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
+            F.round(F.sum(price * one_minus_disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * one_minus_disc * one_plus_tax), 2).cast("double").alias("sum_charge"),
             (sum_qty / n).alias("avg_qty"),
             (sum_price / n).alias("avg_price"),
             n.alias("count_order"),
@@ -156,7 +164,7 @@ def q5_nation_revenue(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -179,7 +187,12 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount", "decimal(8,2)"))
+            # ROUND-to-2 before the double cast: global revenue's
+            # unscaled scale-4 integer would cross 2^53 around sf10,
+            # splitting the decimal->double conversion (see q1)
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount", "decimal(8,2)")), 2
+            )
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
