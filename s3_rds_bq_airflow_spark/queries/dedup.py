@@ -91,13 +91,13 @@ from ..operators.dedup import MERSENNE_31, _perm_constants
 
 
 def _md5_60_sql(expr: str) -> str:
-    """DuckDB: first 15 hex chars of md5(expr) folded to a 60-bit
-    BIGINT — exact integer arithmetic, matches Spark's conv()."""
-    return (
-        f"list_reduce(list_transform(range(1,16), j -> "
-        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), CAST(j AS INT), 1)) - 1 "
-        f"AS BIGINT)), (acc, x) -> acc * 16 + x)"
-    )
+    """DuckDB: first 15 hex chars of md5(expr) as a 60-bit BIGINT —
+    exact integer arithmetic, matches Spark's conv(). The hex-literal
+    cast replaced a 15-element list_reduce fold (bit-identical,
+    verified over 100k samples) after the fold's per-row list
+    materialization OOM'd the in-memory oracle at sf10's ~100M-token
+    explode; this form is one md5 + one concat + one cast per row."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
 _PERM_VALUES = ",\n        ".join(

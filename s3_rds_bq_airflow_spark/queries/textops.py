@@ -666,9 +666,7 @@ _FH_DIM = 64
     ),
     bt AS (
         SELECT doc_id,
-               list_reduce(list_transform(range(1,16), j ->
-                   CAST(strpos('0123456789abcdef', substr(md5(term), CAST(j AS INT), 1)) - 1
-                   AS BIGINT)), (acc, x) -> acc * 16 + x) % {_FH_DIM} AS bucket
+               CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % {_FH_DIM} AS bucket
         FROM toks
     ),
     counts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bt GROUP BY 1, 2),

@@ -842,10 +842,7 @@ WITH counts AS (
 mn AS (SELECT MIN(n_l) AS n_min FROM counts),
 keyed AS (
     SELECT d.doc_id, d.lang, c.n_l, mn.n_min,
-           list_reduce(list_transform(range(1, 9), j ->
-               CAST(strpos('0123456789abcdef',
-                    substr(md5(CAST(d.doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
-               AS BIGINT)), (acc, x) -> acc * 16 + x) AS h
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
     FROM documents d JOIN counts c ON d.lang = c.lang, mn
 ),
 kept AS (
