@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from s3_rds_bq_airflow_spark.streaming import read_event_stream, running_user_totals
 
-N_KEYS = 100_000
+# Default 10^5 keeps the suite's wall time bounded; the recorded
+# 10^6-key run (docs/BENCH_NOTES.md, round 6) uses the env override.
+N_KEYS = int(os.environ.get("SPARK_GRAFT_STATE_KEYS", "100000"))
 
 _ROCKS_CONFS = {
     "spark.sql.streaming.stateStore.providerClass":
@@ -65,7 +67,9 @@ def _run(spark, land: str, out: str, ckpt: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(520)
+    # upper bound only — returns as soon as availableNow drains;
+    # scaled so the 10^6-key env-override run doesn't trip it
+    q.awaitTermination(max(520, N_KEYS // 100))
     assert not q.isActive
 
 
