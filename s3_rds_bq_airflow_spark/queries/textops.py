@@ -550,6 +550,90 @@ def q_tfidf_topterms(spark, sf_dir):
     )
 
 
+# Perplexity-gate threshold: keep iff the doc's MEAN inverse unigram
+# frequency (arithmetic mean of n_total/n_t over its tokens) is at
+# most this — i.e. cut documents dense in rare tokens. 32 sits just
+# above the corpus's ~29.5 baseline and cleanly splits the planted
+# rare-heavy 5% at every SF probed (0.001/0.01/0.1).
+_PPLX_MAX_MEAN_INV = 32
+
+
+@query(
+    "q_perplexity_gate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORMALIZE_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT term, COUNT(*) AS n_t FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(n_t) AS n_total FROM tc),
+    s AS (
+        SELECT t.doc_id, tot.n_total // tc.n_t AS inv
+        FROM toks t JOIN tc USING (term), tot
+    ),
+    d AS (
+        SELECT doc_id, SUM(inv) AS total_inv, COUNT(*) AS n_tokens
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(total_inv AS BIGINT) AS total_inv,
+           CAST(total_inv AS DOUBLE) / n_tokens AS mean_inv,
+           CAST(CASE WHEN total_inv <= {_PPLX_MAX_MEAN_INV} * n_tokens
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM d
+    """,
+)
+def q_perplexity_gate(spark, sf_dir):
+    """LM-surprisal quality gate — the perplexity-filtering pass of
+    CCNet (Wenzek et al. 2020) and the Gopher/MassiveText pipeline
+    (Rae et al. 2021, app. A1.1), which score each document under a
+    reference language model and drop the high-perplexity tail. Here
+    the reference model is the corpus's own unigram LM (self-scoring,
+    the degenerate but standard bootstrap when no external LM ships),
+    and the declared score is the exact-rational gear: per token,
+    inverse estimated probability 1/p_t = n_total div n_t (integer
+    division of exact counts); per document, the arithmetic mean of
+    those inverses; keep iff mean <= 32, evaluated as the integer
+    comparison total_inv <= 32 * n_tokens. Rare-token-dense documents
+    (the high-perplexity tail) fail the gate — 5% of the synthetic
+    corpus at every SF. The production gear is the usual add-k
+    log2-probability mean (true cross-entropy): one libm log per
+    DISTINCT token — a vocabulary-sized expression, same plan — but
+    summed libm outputs are not bit-portable across engines, so the
+    declared columns stay in the rational domain (`mean_inv` is ONE
+    IEEE division of exact integers, correctly rounded in both
+    engines, same convention as q_tfidf_topterms).
+
+    Scale shape (identical to the proven TF-IDF plan): explode ->
+    partial-aggregated vocabulary counts -> a one-row total broadcast
+    -> term-keyed join (AQE broadcasts the vocabulary side when
+    small) -> per-document aggregate. One corpus-sized shuffle pair,
+    no window, no global sort, no Python in the row path."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("term")
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = tc.agg(F.sum("n_t").alias("n_total"))
+    s = (
+        toks.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr("n_total div n_t").alias("inv"))
+    )
+    d = s.groupBy("doc_id").agg(
+        F.sum("inv").alias("total_inv"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("total_inv").cast("long").alias("total_inv"),
+        (F.col("total_inv").cast("double") / F.col("n_tokens")).alias("mean_inv"),
+        (F.col("total_inv") <= _PPLX_MAX_MEAN_INV * F.col("n_tokens"))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
 @query(
     "q_curriculum_buckets",
     oracle=f"""
