@@ -234,6 +234,105 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+# Winnowing parameters: token 4-gram hashes, window of 4 — the
+# guarantee threshold is t = W + K - 1 = 7 (any shared run of >= 7
+# tokens produces at least one shared fingerprint), and expected
+# fingerprint density is 2/(W+1) ~ 40% of positions.
+_WINNOW_K = 4
+_WINNOW_W = 4
+_WINNOW_M31 = 2147483647  # hash codomain (Mersenne-31, the shared gear)
+_WINNOW_ENC = 2147483648  # 2^31: pos*ENC + fp packs a pair into one long
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
+    ),
+    g AS (
+        SELECT doc_id, list_transform(
+                 {ngram_list_sql("tk", _WINNOW_K)},
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_WINNOW_M31}
+               ) AS hs
+        FROM toks
+    ),
+    sel AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(len(hs) - {_WINNOW_W - 1}, 1) + 1),
+                 i -> list_filter(range(i, least(i + {_WINNOW_W - 1}, len(hs)) + 1),
+                                  j -> hs[j] = list_min(list_slice(hs, i, i + {_WINNOW_W - 1})))[-1]
+                      * {_WINNOW_ENC}
+                      + list_min(list_slice(hs, i, i + {_WINNOW_W - 1}))
+               )) AS encs
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(enc // {_WINNOW_ENC} AS BIGINT) AS pos,
+           CAST(enc % {_WINNOW_ENC} AS BIGINT) AS fp
+    FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)
+    """,
+)
+def q_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every K-token shingle,
+    slide a window of W consecutive hashes, and in each window select
+    the minimum hash, breaking ties by the RIGHTMOST position; the
+    fingerprint set is the distinct selected (position, hash) pairs.
+    Guarantees: every window contributes a fingerprint, so consecutive
+    selected positions are never more than W apart (local coverage),
+    and any token run of >= W+K-1 shared by two documents yields at
+    least one shared fingerprint — the positional/local-dedup
+    complement to the global MinHash/SimHash family (those sample the
+    whole document; winnowing pins WHERE the overlap is).
+
+    The complement to `q_fingerprint` (one global MD5 per doc) and
+    `q_dup_span_detect` (exact interval accounting): winnowing is the
+    sub-linear-output middle ground real plagiarism/overlap systems
+    index.
+
+    Engine-portable gear: gram hash = first 15 md5 hex chars as a
+    long mod 2^31-1 (the proven `md5_hash60 % M31` fold); a selected
+    pair packs as `pos * 2^31 + fp` so per-document dedup is a single
+    `array_distinct` over longs — the whole selection runs as nested
+    array lambdas per row (zero shuffle), and the only row-multiplying
+    step is the final explode of the ~2/(W+1)-density fingerprint
+    list. At 100 TB this is a narrow scan-speed map; the emitted
+    (doc_id, pos, fp) index is the op's OUTPUT, ready for a fp-keyed
+    equi-join (never all-pairs) in an overlap search.
+
+    Plan guard: `tk`, `hs`, and the per-window min are each bound
+    ONCE as lambda variables (`transform(array(e), x -> ...)[1]`) —
+    written as stacked projections, CollapseProject inlines the gram
+    md5 array into every nested-lambda reference and the op goes
+    O(windows * W * grams) per row (measured 300 s -> 0.5 s at
+    sf0.001 for the bound form)."""
+    mn = f"array_min(slice(hs, i, {_WINNOW_W}))"
+    sel_from_hs = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINNOW_W - 1}, 1)), "
+        f"i -> element_at(transform(array({mn}), "
+        f"mn -> element_at(filter(sequence(i, least(i + {_WINNOW_W - 1}, size(hs))), "
+        f"j -> element_at(hs, j) = mn), -1) "
+        f"* cast({_WINNOW_ENC} as bigint) + mn), 1)))"
+    )
+    hs_from_tk = (
+        f"transform(transform(sequence(1, greatest(size(tk) - {_WINNOW_K - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(tk, i, {_WINNOW_K}))), "
+        f"s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {_WINNOW_M31})"
+    )
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    encs = (
+        f"element_at(transform(array(split({norm}, ' ')), tk -> "
+        f"element_at(transform(array({hs_from_tk}), hs -> {sel_from_hs}), 1)), 1)"
+    )
+    base = t(spark, sf_dir, "documents").select("doc_id", F.expr(encs).alias("encs"))
+    return base.select("doc_id", F.explode("encs").alias("enc")).select(
+        "doc_id",
+        F.expr(f"enc div {_WINNOW_ENC}").cast("long").alias("pos"),
+        F.expr(f"enc % {_WINNOW_ENC}").cast("long").alias("fp"),
+    )
+
+
 @query(
     "q_gopher_repetition",
     oracle=f"""
