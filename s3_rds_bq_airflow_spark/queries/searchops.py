@@ -1,0 +1,230 @@
+"""Search-index operators over the documents table: inverted-index
+construction and BM25 ranked retrieval — the retrieval-side
+primitives of a corpus pipeline (dedup finds what to drop; these
+build what serving/eval actually query).
+
+Both are pure DataFrame compositions: explode -> partially-aggregated
+term statistics -> bounded top-k -> broadcast join back. Nothing
+driver-side, nothing all-pairs; the only corpus-sized shuffles are
+the (term, doc_id) aggregations that any index build fundamentally
+requires.
+
+Cross-engine notes: BM25 is evaluated with every float step spelled
+as the SAME fully-parenthesized expression tree in Spark and DuckDB
+(shared Python template), each input an exact integer cast to double
+— every IEEE op is then correctly rounded over identical operands,
+so scores (and the ranking) are bit-identical. Constants enter as
+CAST(lit AS DOUBLE) because bare decimal literals are DECIMAL-typed
+in BOTH engines and decimal arithmetic would diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .registry import query
+from ._util import t
+from .textops import NORMALIZE_SQL, normalized_text
+
+_TOPN_TERMS = 20
+_POSTING_PREFIX = 8
+
+_TOKS_SQL = f"""
+    toks AS (
+        SELECT doc_id, unnest(string_split({NORMALIZE_SQL}, ' ')) AS term
+        FROM documents
+    )"""
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM tf GROUP BY 1
+    ),
+    top AS (SELECT * FROM stats ORDER BY df DESC, term LIMIT {_TOPN_TERMS}),
+    pre AS (
+        SELECT term, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM tf WHERE term IN (SELECT term FROM top)
+    ),
+    pfx AS (
+        SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS posting_prefix
+        FROM pre WHERE rn <= {_POSTING_PREFIX} GROUP BY 1
+    )
+    SELECT t.term, t.df, t.cf, t.min_doc, t.max_doc, p.posting_prefix
+    FROM top t JOIN pfx p USING (term)
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (the Lucene/ES posting-list shape): for
+    the top-20 terms by document frequency, the df/cf statistics and
+    the first 8 doc_ids of the ascending posting list, serialized as
+    a comma string (the driver canonicalizer takes scalars only).
+
+    Scale shape: one (term, doc_id) aggregation (map-side combined),
+    one term-level rollup whose output is vocabulary-sized, a
+    TakeOrdered top-20, and a posting scan restricted to those 20
+    terms via a broadcast semi-join with a per-term ROW_NUMBER cut —
+    posting lists are truncated DISTRIBUTEDLY (rn <= 8 before the
+    collect_list), so no executor ever materializes a full posting
+    list even for a stopword-frequency term at 100 TB."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("term")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    top = stats.orderBy(F.desc("df"), F.asc("term")).limit(_TOPN_TERMS)
+    pre = (
+        tf.join(F.broadcast(top.select("term")), "term")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("term").orderBy("doc_id")),
+        )
+        .where(F.col("rn") <= _POSTING_PREFIX)
+    )
+    pfx = pre.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+        ).alias("posting_prefix")
+    )
+    return top.join(pfx, "term").select(
+        "term", "df", "cf", "min_doc", "max_doc", "posting_prefix"
+    )
+
+
+# BM25 parameters (Robertson & Walker; the k1/b defaults every search
+# engine ships) and a fixed three-term query over the corpus
+# vocabulary. The idf is the raw Robertson odds (N - df + 0.5) /
+# (df + 0.5) WITHOUT the usual ln() — log is monotone, so rankings
+# are unchanged, and staying rational keeps scores bit-portable
+# (same convention as q_tfidf_topterms).
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TOPK = 10
+
+
+def _bm25_score_sql(tf: str, df: str, dl: str, n: str, tot: str) -> str:
+    """One term's BM25 contribution — the SINGLE source of truth for
+    the float expression tree, rendered identically for Spark and
+    DuckDB so every IEEE-754 step sees identical operands in an
+    identical order. k1 = 1.2, b = 0.75 (so 1-b = 0.25 and
+    k1+1 = 2.2); dl/avgdl is evaluated as dl*N/total_dl with the
+    integer product exact under 2^53."""
+    idf = (
+        f"((CAST({n} - {df} AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        f"/ (CAST({df} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    )
+    den = (
+        f"(CAST({tf} AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+        f"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * "
+        f"(CAST({dl} * {n} AS DOUBLE) / CAST({tot} AS DOUBLE))))"
+    )
+    return f"(({idf} * (CAST({tf} AS DOUBLE) * CAST(2.2 AS DOUBLE))) / {den})"
+
+
+def _bm25_total_sql(pfx: str = "") -> str:
+    s1, s2, s3 = (
+        _bm25_score_sql(
+            f"{pfx}tf{i}", f"{pfx}df{i}", f"{pfx}dl", f"{pfx}n_docs", f"{pfx}total_dl"
+        )
+        for i in (1, 2, 3)
+    )
+    return f"(({s1} + {s2}) + {s3})"
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
+    ),
+    pd AS (
+        SELECT doc_id,
+               CAST(len(list_filter(tk, x -> x = '{_BM25_TERMS[0]}')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(tk, x -> x = '{_BM25_TERMS[1]}')) AS BIGINT) AS tf2,
+               CAST(len(list_filter(tk, x -> x = '{_BM25_TERMS[2]}')) AS BIGINT) AS tf3,
+               CAST(len(tk) AS BIGINT) AS dl
+        FROM base
+    ),
+    sc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        FROM pd
+    )
+    SELECT doc_id, tf1, tf2, tf3, dl,
+           {_bm25_total_sql()} AS score
+    FROM pd, sc
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson/Sparck Jones probabilistic
+    model — the default ranking function of Lucene/Elasticsearch):
+    top-10 documents for a fixed 3-term query, scored with k1 = 1.2,
+    b = 0.75 and the rational Robertson-odds idf (ln() omitted —
+    monotone, ranking-preserving, bit-portable).
+
+    Scale shape: per-document term frequencies are per-row array
+    lambdas over the token array (token array bound ONCE as a lambda
+    var — the CollapseProject guard, see q_winnowing), the five
+    corpus scalars (N, total length, three dfs) come from ONE
+    aggregate, broadcast back with a scalar cross join, and the
+    ranking is a TakeOrdered top-10 — no global sort, no shuffle of
+    anything wider than (doc_id, 4 longs). The score itself is pure
+    column arithmetic from the shared Spark/DuckDB expression
+    template, so the driver hash sees bit-identical doubles."""
+    filters = ", ".join(
+        f"cast(size(filter(tk, x -> x = '{term}')) as bigint)"
+        for term in _BM25_TERMS
+    )
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"  # Spark spelling (no 'g' flag)
+    per_doc = (
+        f"element_at(transform(array(split({norm}, ' ')), "
+        f"tk -> array({filters}, cast(size(tk) as bigint))), 1)"
+    )
+    pd = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(per_doc).alias("v")
+    ).select(
+        "doc_id",
+        F.col("v")[0].alias("tf1"),
+        F.col("v")[1].alias("tf2"),
+        F.col("v")[2].alias("tf3"),
+        F.col("v")[3].alias("dl"),
+    )
+    sc = pd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        F.sum((F.col("tf1") > 0).cast("long")).cast("long").alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("long")).cast("long").alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("long")).cast("long").alias("df3"),
+    )
+    return (
+        pd.crossJoin(F.broadcast(sc))
+        .select(
+            "doc_id",
+            "tf1",
+            "tf2",
+            "tf3",
+            "dl",
+            F.expr(_bm25_total_sql()).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
