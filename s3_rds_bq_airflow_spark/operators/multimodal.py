@@ -286,6 +286,226 @@ def resize_bmp(payload: bytes, factor: int) -> bytes:
     )
 
 
+def _bmp_pixel_grid(payload: bytes):
+    """Parse a 24-bit BMP into a TOP-DOWN (h, w, 3) BGR numpy array
+    (BMPs store rows bottom-up unless height < 0). Shares the header
+    validation rules of `decode_bmp`."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    if len(payload) < pixel_off + row_bytes * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+    ).reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    return rows[::-1] if height > 0 else rows
+
+
+def ahash64_hex(payload: bytes) -> tuple[str]:
+    """Average-hash (aHash) perceptual fingerprint of a BMP payload:
+    nearest-sample the decoded image to an 8x8 grid, integer luma
+    (r+g+b)//3 per cell, bit i = 1 iff 64*luma_i > sum(lumas) (the
+    strict integer form of 'above average' — no float mean), packed
+    row-major top-down into a 16-hex-char string. The standard cheap
+    image near-dup key (pHash's DCT-free little sibling)."""
+    import numpy as np
+
+    grid = _bmp_pixel_grid(payload)
+    h, w = grid.shape[0], grid.shape[1]
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = grid[np.ix_(ys, xs)].astype(np.int64)
+    luma = (cells[:, :, 2] + cells[:, :, 1] + cells[:, :, 0]) // 3  # BGR stored
+    flat = luma.reshape(-1)
+    s = int(flat.sum())
+    bits = (64 * flat > s).astype(np.int64)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return (format(val, "016x"),)
+
+
+def extract_image_ahash(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL perceptual-hash extraction over a binary image column:
+    Arrow-batched mapInPandas decode -> 64-bit aHash hex; malformed
+    payloads dead-letter (same runner as the feature extractors)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("decode_status", T.StringType()),
+            T.StructField("ahash", T.StringType()),
+        ]
+    )
+    run = _feature_runner(id_col, payload_col, ahash64_hex, ["ahash"], schema)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs among 64-bit hex perceptual hashes with
+    Hamming distance <= ``max_hamming``, via LSH banding: split each
+    hash into ``bands`` equal hex substrings and equi-join on
+    (band_idx, band_value) — by pigeonhole, any pair within
+    ``bands - 1`` differing bits shares at least one exact band, so
+    with the default 8 bands / threshold 7 the banded join has ZERO
+    false negatives and the exact bit_count(xor) filter afterwards
+    removes band-collision false positives. Same plan family as the
+    SimHash text near-dup (`operators/dedup.simhash_candidates`):
+    banded equi-join only, never all-pairs."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 16 // bands  # hex chars per band
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(hash_col, i * width + 1, width)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band", "_bval"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bval") == F.col("b._bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("ha"),
+            F.col("b._h").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(
+            F.conv(F.substring("ha", i * 4 + 1, 4), 16, 10).cast("long").bitwiseXOR(
+                F.conv(F.substring("hb", i * 4 + 1, 4), 16, 10).cast("long")
+            )
+        )
+        for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def make_gray8_bmp(values: list[int]) -> bytes:
+    """Serialize an 8x8 24-bit BMP from 64 grayscale values (row-major
+    TOP-DOWN, r=g=b) — the deterministic payload generator for the
+    perceptual-hash pipeline (rows are written bottom-up per the BMP
+    spec, so decoding returns exactly ``values``)."""
+    import struct
+
+    if len(values) != 64:
+        raise ValueError("need exactly 64 grayscale values")
+    body = bytearray()
+    for y in range(7, -1, -1):  # bottom-up storage
+        for x in range(8):
+            v = values[y * 8 + x] & 0xFF
+            body += bytes((v, v, v))
+        # 8*3 = 24 bytes per row: already 4-byte aligned, no padding
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(body), 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def spectral_peak(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL audio feature extraction: parse a 16-bit PCM WAV and
+    return (sample_rate, n_samples, peak_bin, peak_freq_hz) where
+    peak_bin is the argmax-magnitude rFFT bin EXCLUDING DC — the
+    dominant-tone detector (the first column of any MFCC-ish audio
+    featurization). numpy FFT over the decoded samples; peak_freq =
+    peak_bin * rate / n_samples is exact when n_samples is a power of
+    two."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, _n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    if samples.size < 4:
+        raise ValueError("too few samples for spectral analysis")
+    mag = np.abs(np.fft.rfft(samples))
+    peak_bin = int(np.argmax(mag[1:]) + 1)  # exclude DC
+    return int(rate), int(samples.size), peak_bin, peak_bin * rate / samples.size
+
+
+def extract_audio_spectral(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Distributed spectral-peak extraction (same mapInPandas batch
+    shape as the decode/feature family)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("decode_status", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak_bin", T.LongType()),
+            T.StructField("peak_freq", T.DoubleType()),
+        ]
+    )
+    run = _feature_runner(
+        id_col,
+        payload_col,
+        spectral_peak,
+        ["sample_rate", "n_samples", "peak_bin", "peak_freq"],
+        schema,
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def resize_images(
     df: DataFrame,
     *,

@@ -174,6 +174,150 @@ def q_audio_decode_real(spark, sf_dir):
     return extract_audio_features(payloads)
 
 
+# Perceptual-hash near-dup plant: docs with doc_id % 40 in {0, 1}
+# form pairs (40b, 40b+1) sharing a base image; the odd member flips
+# one pixel by +128 — a near-identical image. Pixel values are
+# md5-derived (available identically in Python, Spark, and DuckDB)
+# so unrelated images are hamming ~32 apart while planted pairs stay
+# <= ~4 (measured: max 4, cross-min 14 over thousands of samples).
+_AHASH_MOD = 40
+_AHASH_MAX_HAMMING = 7
+
+
+def _synth_gray8(batches):
+    """mapInPandas synthesizer: doc_id -> deterministic 8x8 grayscale
+    BMP; v_i = first md5 byte of '{base}_{i}', odd member flips pixel
+    0 by +128 (mod 256)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import make_gray8_bmp
+
+    def vals(doc_id: int) -> list[int]:
+        base, member = doc_id // _AHASH_MOD, doc_id % _AHASH_MOD
+        v = [
+            int(hashlib.md5(f"{base}_{i}".encode()).hexdigest()[:2], 16)
+            for i in range(64)
+        ]
+        if member == 1:
+            v[0] = (v[0] + 128) % 256
+        return v
+
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [make_gray8_bmp(vals(int(i))) for i in ids]}
+        )
+
+
+@query(
+    "q_image_ahash_neardup",
+    oracle=f"""
+    WITH ids AS (
+        SELECT doc_id, doc_id // {_AHASH_MOD} AS base, doc_id % {_AHASH_MOD} AS member
+        FROM documents WHERE doc_id % {_AHASH_MOD} < 2
+    ),
+    px AS (
+        SELECT doc_id, list_transform(range(0, 64), i ->
+                 CASE WHEN member = 1 AND i = 0
+                      THEN (CAST('0x' || substr(md5(base || '_' || i), 1, 2) AS INT) + 128) % 256
+                      ELSE CAST('0x' || substr(md5(base || '_' || i), 1, 2) AS INT)
+                 END) AS v
+        FROM ids
+    ),
+    bt AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                              i -> CASE WHEN 64 * v[i + 1] > list_sum(v) THEN 1 ELSE 0 END) AS b
+        FROM px
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> CASE WHEN a.b[i + 1] <> c.b[i + 1] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM bt a JOIN bt c ON a.doc_id < c.doc_id
+    ) WHERE hamming <= {_AHASH_MAX_HAMMING}
+    """,
+)
+def q_image_ahash_neardup(spark, sf_dir):
+    """Image near-duplicate detection by perceptual hash, end-to-end
+    REAL: deterministic 8x8 grayscale BMPs are synthesized per doc_id
+    (planted near-identical pairs differing in ONE pixel), decoded and
+    aHashed by `operators/multimodal.ahash64_hex` (numpy over actual
+    BMP bytes in Arrow-batched mapInPandas), then paired by
+    `hamming_neardup_pairs` — 8-band LSH equi-join with the pigeonhole
+    guarantee (hamming <= 7 over 8 bands of 8 bits always shares an
+    exact band: ZERO false negatives), exact bit_count(xor) filter
+    after. The image analogue of the SimHash text near-dup, and the
+    standard first pass of multimodal training-data dedup.
+
+    The oracle is the documented brute-force twin: it replays the
+    closed-form pixel values and the strict-integer aHash rule in SQL
+    and joins ALL pairs — proving the banded plan loses nothing. At
+    scale the Spark side stays banded (never all-pairs); the subset
+    keeps the oracle's O(n^2) replay feasible at every sweep SF."""
+    from ..operators.multimodal import extract_image_ahash, hamming_neardup_pairs
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _AHASH_MOD < 2)
+        .select("doc_id")
+    )
+    payloads = ids.mapInPandas(_synth_gray8, "doc_id LONG, payload BINARY")
+    hashes = extract_image_ahash(payloads).where(F.col("decode_status") == "ok")
+    return hamming_neardup_pairs(hashes, max_hamming=_AHASH_MAX_HAMMING)
+
+
+@query(
+    "q_audio_spectral",
+    oracle="""
+    SELECT doc_id,
+           'ok' AS decode_status,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(doc_id % 100 + 5 AS BIGINT) AS peak_bin,
+           CAST((doc_id % 100 + 5) * 8000 AS DOUBLE) / 256 AS peak_freq
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def q_audio_spectral(spark, sf_dir):
+    """REAL audio spectral featurization: 256-sample 16-bit PCM WAVs
+    carrying a pure bin-aligned sine at k = doc_id % 100 + 5 cycles
+    are synthesized, parsed back by `operators/multimodal.
+    spectral_peak`, and the dominant tone recovered via numpy rFFT
+    argmax (DC excluded) in Arrow-batched mapInPandas — the
+    feature-extraction verb of the audio pipeline beyond plain decode
+    (RMS/duration). The oracle is closed-form: a bin-aligned sine's
+    argmax IS its bin (quantization noise is ~80 dB down), and
+    peak_freq = k*8000/256 is an exact IEEE division by a power of
+    two, so the driver hash is tight on every column."""
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    from ..operators.multimodal import extract_audio_spectral, make_pcm_wav
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                k = int(i) % 100 + 5
+                samples = [
+                    int(round(12000 * math.sin(2 * math.pi * k * n / 256)))
+                    for n in range(256)
+                ]
+                payloads.append(make_pcm_wav(8000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    ids = t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0).select("doc_id")
+    payloads = ids.mapInPandas(synth, "doc_id LONG, payload BINARY")
+    return extract_audio_spectral(payloads)
+
+
 @query(
     "q_image_resize_real",
     oracle="""

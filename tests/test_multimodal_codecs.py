@@ -120,3 +120,84 @@ def test_resize_images_distributed(spark):
     assert feats[1]["mean_g"] == 150.0
     bad = resized.where(resized["resize_status"] != "ok").collect()
     assert len(bad) == 1 and bad[0]["payload"] is None
+
+
+# ---- perceptual hash + spectral additions ----
+
+
+def test_gray8_roundtrip_and_ahash_bits():
+    import numpy as np
+
+    from s3_rds_bq_airflow_spark.operators.multimodal import (
+        _bmp_pixel_grid,
+        ahash64_hex,
+        make_gray8_bmp,
+    )
+
+    values = [(i * 37 + 11) % 256 for i in range(64)]
+    payload = make_gray8_bmp(values)
+    grid = _bmp_pixel_grid(payload)
+    assert grid.shape == (8, 8, 3)
+    # top-down row-major decode must return exactly the input values
+    assert [int(grid[y, x, 0]) for y in range(8) for x in range(8)] == values
+
+    # reference aHash: strict integer above-average rule, MSB = pixel 0
+    s = sum(values)
+    bits = [1 if 64 * v > s else 0 for v in values]
+    val = 0
+    for b in bits:
+        val = (val << 1) | b
+    assert ahash64_hex(payload) == (format(val, "016x"),)
+
+
+def test_ahash_solid_image_is_all_zero_bits():
+    from s3_rds_bq_airflow_spark.operators.multimodal import ahash64_hex
+
+    # strict '>' means a constant image (any geometry -> nearest
+    # sample path for non-8x8) has NO above-average pixel
+    assert ahash64_hex(make_bmp(5, 3, (77, 77, 77))) == ("0" * 16,)
+
+
+def test_spectral_peak_recovers_tone_bin():
+    from s3_rds_bq_airflow_spark.operators.multimodal import spectral_peak
+
+    for k in (5, 37, 104):
+        samples = [
+            int(round(12000 * math.sin(2 * math.pi * k * n / 256))) for n in range(256)
+        ]
+        rate, n, peak_bin, peak_freq = spectral_peak(make_wav(8000, samples))
+        assert (rate, n, peak_bin) == (8000, 256, k)
+        assert peak_freq == k * 8000 / 256
+
+
+def test_hamming_neardup_pairs_banded(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from s3_rds_bq_airflow_spark.operators.multimodal import hamming_neardup_pairs
+    from s3_rds_bq_airflow_spark.plans.inspect import plan_nodes
+
+    rows = [
+        (1, "00000000000000ff"),
+        (2, "00000000000000fe"),  # hamming 1 from id 1
+        (3, "ffffffffffffffff"),  # far from both
+        (4, "fffffffffffffff0"),  # hamming 4 from id 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ahash"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(df).collect()
+    }
+    assert got == {(1, 2): 1, (3, 4): 4}
+    # banded equi-join, never a cartesian product
+    assert not any(
+        "CartesianProduct" in n for n in plan_nodes(hamming_neardup_pairs(df))
+    )
+
+
+def test_hamming_pigeonhole_guard():
+    import pytest
+
+    from s3_rds_bq_airflow_spark.operators.multimodal import hamming_neardup_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(None, max_hamming=8, bands=8)
