@@ -387,3 +387,72 @@ def q_setsim_join(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     sh = token_shingles(docs, "text", "doc_id", k=5, exact=True)
     return setsim_join(sh, tau_num=1, tau_den=2)
+
+
+# Fuzzy-match subset: every 40th customer keeps the brute-force
+# oracle quadratic-feasible at every sweep SF while the Spark side
+# stays blocked (the deletion-neighborhood index is the semantics-
+# preserving candidate generator at ANY scale).
+_FUZZY_MOD = 40
+
+
+@query(
+    "q_fuzzy_match_blocked",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey AS id, c_name AS name
+        FROM customer WHERE c_custkey % {_FUZZY_MOD} = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def q_fuzzy_match_blocked(spark, sf_dir):
+    """Fuzzy entity matching at edit distance <= 1 via FastSS
+    deletion-neighborhood blocking (Bocek et al. 2007): each name
+    emits its 1-deletion variants plus itself; any two strings within
+    one edit (substitution at position i -> both deletions at i agree;
+    insertion/deletion -> the shorter string IS a variant of the
+    longer) share a variant, so the variant equi-join is a LOSSLESS
+    candidate generator and the exact `levenshtein` builtin (same DP
+    in Spark and DuckDB) prunes the collisions — never an all-pairs
+    comparison. The record-linkage/entity-resolution primitive next
+    to the token-set (`q_setsim_join`) and n-gram (`q_ngram_jaccard`)
+    matchers, at the character granularity where typos live.
+
+    Scale: the variant index is n*(L+1) rows (array_distinct first —
+    repeated-character strings collapse their deletions), the join is
+    an equi-join on the variant string, and candidate pairs dedup by
+    key before one exact distance evaluation each. The oracle is the
+    documented brute-force twin over the bounded subset."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % _FUZZY_MOD == 0)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    v = c.select(
+        "id",
+        "name",
+        F.expr(
+            "explode(array_distinct(transform(sequence(0, length(name)), "
+            "i -> concat(substring(name, 1, i), substring(name, i + 2)))))"
+        ).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
