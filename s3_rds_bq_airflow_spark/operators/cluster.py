@@ -295,3 +295,40 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def bfs_khop(
+    sources: DataFrame,
+    edges: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Unweighted shortest-path (BFS) distances from a source set,
+    bounded at ``k`` hops: (id, dist) for every node reachable within
+    k edges, dist = MINIMUM hop count. The Pregel iteration pattern
+    (one frontier-vs-edges equi-join + dedup per hop) expressed as
+    plain DataFrame ops — the reachability primitive beside the
+    components/PageRank/label-propagation family.
+
+    Scale: per hop, only the FRONTIER (nodes first reached this hop —
+    an anti-join against the visited set keeps it tight) joins the
+    edge list; visited-set growth is the output itself. k is a fixed
+    small constant so the loop unrolls into one DAG; lineage stays
+    k-bounded (no checkpoint needed below ~10 hops)."""
+    visited = sources.select(F.col(id_col).alias("id"), F.lit(0).alias("dist"))
+    frontier = visited
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges[src_col])
+            .select(F.col(dst_col).alias("id"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    # the anti-join guarantees one row per node, already minimal; the
+    # aggregate states the BFS invariant rather than trusting it
+    return visited.groupBy("id").agg(F.min("dist").cast("long").alias("dist"))

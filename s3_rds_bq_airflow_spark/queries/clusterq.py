@@ -440,3 +440,51 @@ def q_triangle_counts(spark, sf_dir):
         "doc_id",
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+# BFS demo graph: two coprime forward strides over the customer keys
+# — a DAG (edges strictly increase the id, so the recursive oracle
+# terminates) with genuinely overlapping multi-path reachability
+# (7a + 13b sums), sources = the first five keys, six hops.
+_BFS_STRIDES = (7, 13)
+_BFS_K = 6
+
+
+@query(
+    "q_bfs_khop",
+    oracle=f"""
+    WITH RECURSIVE walk(id, dist) AS (
+        SELECT c_custkey, 0 FROM customer WHERE c_custkey < 5
+        UNION
+        SELECT w.id + s.d, w.dist + 1
+        FROM walk w,
+             (VALUES ({_BFS_STRIDES[0]}), ({_BFS_STRIDES[1]})) s(d)
+        WHERE w.dist < {_BFS_K}
+          AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = w.id + s.d)
+    )
+    SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY id
+    """,
+)
+def q_bfs_khop(spark, sf_dir):
+    """k-hop BFS reachability (`operators/cluster.bfs_khop`): minimum
+    hop count from a source set over a directed graph, the Pregel
+    frontier iteration as DataFrame joins — the unweighted-shortest-
+    path primitive of the graph family. The demo graph strides the
+    customer keys by 7 and 13 (coprime, five sources — distances
+    interleave nontrivially across sources and stride mixes), and the oracle
+    replays the walk as a DuckDB RECURSIVE CTE with MIN(dist) —
+    engine-independent BFS semantics, not a closed form."""
+    from ..operators.cluster import bfs_khop
+
+    nodes = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    strides = F.array(*[F.lit(s) for s in _BFS_STRIDES])
+    edges = (
+        nodes.select("id", F.explode(strides).alias("d"))
+        .select(F.col("id").alias("src"), (F.col("id") + F.col("d")).alias("dst"))
+        .join(nodes.withColumnRenamed("id", "dst"), "dst")  # dst must exist
+    )
+    sources = nodes.where(F.col("id") < 5)
+    return bfs_khop(sources, edges, _BFS_K)
