@@ -244,10 +244,10 @@ _WINNOW_M31 = 2147483647  # hash codomain (Mersenne-31, the shared gear)
 _WINNOW_ENC = 2147483648  # 2^31: pos*ENC + fp packs a pair into one long
 
 
-@query(
-    "q_winnowing",
-    oracle=f"""
-    WITH toks AS (
+# Shared oracle CTE chain: documents -> per-doc packed winnowing
+# selections (the `sel(doc_id, encs)` relation) — used by both
+# q_winnowing and q_winnow_overlap so the two oracles cannot drift.
+_WINNOW_SEL_SQL = f"""toks AS (
         SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
     ),
     g AS (
@@ -266,7 +266,38 @@ _WINNOW_ENC = 2147483648  # 2^31: pos*ENC + fp packs a pair into one long
                       + list_min(list_slice(hs, i, i + {_WINNOW_W - 1}))
                )) AS encs
         FROM g
+    )"""
+
+
+def _winnow_encs_frame(spark, sf_dir):
+    """documents -> (doc_id, encs array<long>): the packed winnowing
+    selection per document — the shared Spark front end of
+    q_winnowing and q_winnow_overlap (mirrors `_WINNOW_SEL_SQL`)."""
+    mn = f"array_min(slice(hs, i, {_WINNOW_W}))"
+    sel_from_hs = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINNOW_W - 1}, 1)), "
+        f"i -> element_at(transform(array({mn}), "
+        f"mn -> element_at(filter(sequence(i, least(i + {_WINNOW_W - 1}, size(hs))), "
+        f"j -> element_at(hs, j) = mn), -1) "
+        f"* cast({_WINNOW_ENC} as bigint) + mn), 1)))"
     )
+    hs_from_tk = (
+        f"transform(transform(sequence(1, greatest(size(tk) - {_WINNOW_K - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(tk, i, {_WINNOW_K}))), "
+        f"s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {_WINNOW_M31})"
+    )
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    encs = (
+        f"element_at(transform(array(split({norm}, ' ')), tk -> "
+        f"element_at(transform(array({hs_from_tk}), hs -> {sel_from_hs}), 1)), 1)"
+    )
+    return t(spark, sf_dir, "documents").select("doc_id", F.expr(encs).alias("encs"))
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL}
     SELECT doc_id,
            CAST(enc // {_WINNOW_ENC} AS BIGINT) AS pos,
            CAST(enc % {_WINNOW_ENC} AS BIGINT) AS fp
@@ -307,29 +338,79 @@ def q_winnowing(spark, sf_dir):
     md5 array into every nested-lambda reference and the op goes
     O(windows * W * grams) per row (measured 300 s -> 0.5 s at
     sf0.001 for the bound form)."""
-    mn = f"array_min(slice(hs, i, {_WINNOW_W}))"
-    sel_from_hs = (
-        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINNOW_W - 1}, 1)), "
-        f"i -> element_at(transform(array({mn}), "
-        f"mn -> element_at(filter(sequence(i, least(i + {_WINNOW_W - 1}, size(hs))), "
-        f"j -> element_at(hs, j) = mn), -1) "
-        f"* cast({_WINNOW_ENC} as bigint) + mn), 1)))"
-    )
-    hs_from_tk = (
-        f"transform(transform(sequence(1, greatest(size(tk) - {_WINNOW_K - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(tk, i, {_WINNOW_K}))), "
-        f"s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {_WINNOW_M31})"
-    )
-    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
-    encs = (
-        f"element_at(transform(array(split({norm}, ' ')), tk -> "
-        f"element_at(transform(array({hs_from_tk}), hs -> {sel_from_hs}), 1)), 1)"
-    )
-    base = t(spark, sf_dir, "documents").select("doc_id", F.expr(encs).alias("encs"))
+    base = _winnow_encs_frame(spark, sf_dir)
     return base.select("doc_id", F.explode("encs").alias("enc")).select(
         "doc_id",
         F.expr(f"enc div {_WINNOW_ENC}").cast("long").alias("pos"),
         F.expr(f"enc % {_WINNOW_ENC}").cast("long").alias("fp"),
+    )
+
+
+# Overlap-search parameters: fingerprints selected by > DF_CAP
+# documents carry no dedup signal (corpus-stopword shingles) and are
+# dropped BEFORE the pair join — the standard hot-key cap that bounds
+# any single fingerprint's join fan-out at DF_CAP^2 pairs. Pairs must
+# share >= MIN_SHARED fingerprints to be reported.
+_WINNOW_DF_CAP = 50
+_WINNOW_MIN_SHARED = 2
+
+
+@query(
+    "q_winnow_overlap",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL},
+    fps AS (
+        SELECT DISTINCT doc_id, enc % {_WINNOW_ENC} AS fp
+        FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)
+    ),
+    keep AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_WINNOW_DF_CAP}
+    ),
+    j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM j GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def q_winnow_overlap(spark, sf_dir):
+    """Cross-document overlap search over the winnowing index — the
+    consumer the q_winnowing docstring promises: document pairs
+    sharing >= 2 selected fingerprints, i.e. pairs with multiple
+    independent >= K-token verbatim runs in common (MOSS's pairing
+    stage). Positional local evidence, vs the global-similarity
+    verdicts of MinHash/SimHash.
+
+    Scale shape: distinct (doc_id, fp) -> document-frequency cap on
+    the fingerprint (drop corpus-stopword shingles BEFORE pairing —
+    bounds any fp's fan-out at DF_CAP^2 and is standard practice in
+    shingle indexes) -> fp equi-join -> per-pair count. One shuffle
+    key (fp) for the join, one (pair) for the count; never all-pairs,
+    no window, no global sort."""
+    fps = (
+        _winnow_encs_frame(spark, sf_dir)
+        .select("doc_id", F.explode("encs").alias("enc"))
+        .select("doc_id", F.expr(f"enc % {_WINNOW_ENC}").cast("long").alias("fp"))
+        .distinct()
+    )
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= _WINNOW_DF_CAP
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    pairs = (
+        a.join(keep.select("fp"), "fp")
+        .join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
 
 

@@ -118,3 +118,41 @@ def test_coverage_guarantee_at_sf0001(spark):
     n_grams = toks.agg(F.sum("g")).first()[0]
     density = gaps["n"] / n_grams
     assert 0.25 < density < 0.55  # 2/(W+1) = 0.4 expected
+
+
+# ---- q_winnow_overlap ----
+
+
+def test_overlap_reports_planted_copied_run(spark, tmp_path_factory):
+    words = ["w%d" % i for i in range(40)]
+    run = " ".join(words[:20])  # 20-token verbatim run shared by 0 and 1
+    rows = [
+        (0, run + " alpha beta gamma delta " + " ".join(words[20:30])),
+        (1, "omega " + " ".join(words[30:40]) + " " + run),
+        (2, " ".join(reversed(words))),  # no shared 4-gram run
+    ]
+    d = str(tmp_path_factory.mktemp("winnow_ov"))
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in entrymod.queries()["q_winnow_overlap"](spark, d).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 2
+    assert all(p == (0, 1) for p in got)
+
+
+def test_overlap_df_cap_drops_corpus_stopword_fps(spark, tmp_path_factory):
+    from s3_rds_bq_airflow_spark.queries.textops import _WINNOW_DF_CAP
+
+    # DF_CAP+10 identical docs: every fingerprint's document frequency
+    # exceeds the cap, so NO pairs are reported — hot shingles carry
+    # no dedup signal and must not fan out
+    n = _WINNOW_DF_CAP + 10
+    rows = [(i, "a b c d e f g h i j k l m n o p") for i in range(n)]
+    d = str(tmp_path_factory.mktemp("winnow_cap"))
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    assert entrymod.queries()["q_winnow_overlap"](spark, d).count() == 0
