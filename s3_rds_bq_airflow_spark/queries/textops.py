@@ -730,6 +730,87 @@ def q_tfidf_topterms(spark, sf_dir):
     )
 
 
+# Char-diversity gate threshold: keep iff the document's EFFECTIVE
+# ALPHABET (n^2 div sum of squared per-character counts — the integer
+# inverse Simpson index) is at least this. 12 sits inside the
+# corpus's 10..17 range so both classes exercise at every SF;
+# gibberish/repeated-key/encoding-noise documents collapse toward 1.
+_CHARDIV_MIN_EFF = 12
+
+
+@query(
+    "q_char_diversity_gate",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, REPLACE({NORMALIZE_SQL}, ' ', '') AS c FROM documents
+    ),
+    m AS (SELECT doc_id, regexp_extract_all(c, '.') AS ch FROM s),
+    agg AS (
+        SELECT doc_id,
+               CAST(len(ch) AS BIGINT) AS n_chars,
+               CAST(len(list_distinct(ch)) AS BIGINT) AS n_distinct_chars,
+               CAST(COALESCE(list_sum(list_transform(
+                        list_transform(list_distinct(ch),
+                                       d -> len(list_filter(ch, x -> x = d))),
+                        k -> k * k)), 0) AS BIGINT) AS collision_sum
+        FROM m
+    )
+    SELECT doc_id, n_chars, n_distinct_chars, collision_sum,
+           CAST(n_chars * n_chars // greatest(collision_sum, 1) AS BIGINT) AS eff_alphabet,
+           CAST(collision_sum AS DOUBLE) / greatest(n_chars * n_chars, 1) AS simpson,
+           CAST(CASE WHEN n_chars * n_chars // greatest(collision_sum, 1) >= {_CHARDIV_MIN_EFF}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM agg
+    """,
+)
+def q_char_diversity_gate(spark, sf_dir):
+    """Character-diversity quality gate — the char-level entropy
+    filter of C4/Gopher-style pipelines (gibberish, repeated-key
+    noise, base64 blobs, and mojibake collapse the character
+    distribution), in the exact-rational gear: collision_sum =
+    sum of squared per-character counts over the space-stripped
+    normalized text; the declared score is the INTEGER inverse
+    Simpson index n^2 div collision_sum ('effective alphabet size' —
+    a uniform 26-letter text scores 26, 'aaaa...' scores 1), keep iff
+    >= 12. `simpson` (the collision probability) is ONE IEEE division
+    of exact integers — the same transcendental-free design as
+    q_perplexity_gate (the true Shannon form needs a per-char log;
+    Renyi-2 is its standard hash-portable stand-in). Token-level
+    sibling: q_lexical_diversity (Gini-Simpson over words).
+
+    Scale: pure per-row array lambdas (char list bound ONCE as a
+    lambda variable — the CollapseProject guard), zero shuffle,
+    O(distinct_chars * n_chars) per row with a ~30-char alphabet."""
+    counts = "transform(array_distinct(ch), d -> size(filter(ch, x -> x = d)))"
+    per_doc = (
+        "element_at(transform(array(regexp_extract_all("
+        "replace(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ', ''), '.', 0)), "
+        f"ch -> array(cast(size(ch) as bigint), cast(size(array_distinct(ch)) as bigint), "
+        f"aggregate({counts}, cast(0 as bigint), (a, k) -> a + cast(k as bigint) * k))), 1)"
+    )
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(per_doc).alias("v")
+    ).select(
+        "doc_id",
+        F.col("v")[0].alias("n_chars"),
+        F.col("v")[1].alias("n_distinct_chars"),
+        F.col("v")[2].alias("collision_sum"),
+    )
+    eff = F.expr("n_chars * n_chars div greatest(collision_sum, 1)")
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "collision_sum",
+        eff.cast("long").alias("eff_alphabet"),
+        (
+            F.col("collision_sum").cast("double")
+            / F.greatest(F.col("n_chars") * F.col("n_chars"), F.lit(1))
+        ).alias("simpson"),
+        (eff >= _CHARDIV_MIN_EFF).cast("long").alias("keep"),
+    )
+
+
 # Perplexity-gate threshold: keep iff the doc's MEAN inverse unigram
 # frequency (arithmetic mean of n_total/n_t over its tokens) is at
 # most this — i.e. cut documents dense in rare tokens. 32 sits just
