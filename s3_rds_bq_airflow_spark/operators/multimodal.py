@@ -506,6 +506,110 @@ def extract_audio_spectral(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def constellation_landmarks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_samples: int = 256,
+    deltas: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Shazam-style constellation fingerprints (Wang 2003): split the
+    decoded PCM stream into fixed frames, take each frame's dominant
+    rFFT bin (the spectral landmark), and hash anchor->target landmark
+    pairs ``(peak_f, peak_{f+dt}, dt)`` packed as
+    ``peak_a * 2^16 + peak_b * 2^4 + dt`` — the combinatorial hash
+    that makes audio matching a plain equi-join. One output row per
+    landmark pair: (doc_id, f, lhash)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("f", T.LongType()),
+            T.StructField("lhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    # reuse the WAV chunk walk via spectral decode rules
+                    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                        raise ValueError("not a WAV payload")
+                    pos, fmt, data = 12, None, None
+                    while pos + 8 <= len(raw):
+                        cid = raw[pos : pos + 4]
+                        size = struct.unpack_from("<I", raw, pos + 4)[0]
+                        body = raw[pos + 8 : pos + 8 + size]
+                        if cid == b"fmt ":
+                            fmt = body
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + size + (size & 1)
+                    if fmt is None or data is None:
+                        raise ValueError("missing fmt/data chunk")
+                    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                    n_frames = samples.size // frame_samples
+                    peaks = [
+                        int(
+                            np.argmax(
+                                np.abs(
+                                    np.fft.rfft(
+                                        samples[
+                                            i * frame_samples : (i + 1) * frame_samples
+                                        ]
+                                    )
+                                )[1:]
+                            )
+                        )
+                        + 1
+                        for i in range(n_frames)
+                    ]
+                    for f in range(n_frames):
+                        for dt in deltas:
+                            if f + dt < n_frames:
+                                h = peaks[f] * 65536 + peaks[f + dt] * 16 + dt
+                                out.append((doc_id, f, h))
+                except ValueError:
+                    continue  # dead-letter: malformed payloads emit no landmarks
+            yield pd.DataFrame(out, columns=["doc_id", "f", "lhash"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def constellation_match(
+    landmarks: DataFrame, *, min_votes: int = 2
+) -> DataFrame:
+    """Audio near-dup matching over constellation landmarks: equi-join
+    on the landmark hash, then the Shazam offset-consistency vote — a
+    true match shows MANY shared hashes at ONE consistent frame delta,
+    random collisions scatter. Returns (id_a, id_b, delta, votes)
+    with votes >= min_votes. Never all-pairs: the only join key is
+    the landmark hash."""
+    a, b = landmarks.alias("a"), landmarks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lhash") == F.col("b.lhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (F.col("a.f") - F.col("b.f")).alias("delta"),
+        )
+        .groupBy("id_a", "id_b", "delta")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        .where(F.col("votes") >= min_votes)
+    )
+
+
 def resize_images(
     df: DataFrame,
     *,

@@ -318,6 +318,106 @@ def q_audio_spectral(spark, sf_dir):
     return extract_audio_spectral(payloads)
 
 
+# Constellation plant: docs with doc_id % 25 in {0, 1} form pairs
+# (25b, 25b+1) playing the SAME tone schedule shifted by one frame —
+# the time-offset near-dup constellation matching exists to find.
+_CONST_MOD = 25
+_CONST_FRAMES = 4
+_CONST_DELTAS = (1, 2)
+
+
+def _const_tone(base: int, member: int, f: int) -> int:
+    """Frame f's tone bin: member 1 plays member 0's schedule shifted
+    one frame later. md5-derived (identically computable in Python
+    and DuckDB) so DIFFERENT bases' schedules are unrelated — an
+    arithmetic-progression schedule made every pair of docs a shifted
+    coincidence (2200 accidental matches at sf0.1, O(n^2) growth);
+    random schedules leave only the planted pairs."""
+    import hashlib
+
+    return int(hashlib.md5(f"{base}_{f + member}".encode()).hexdigest()[:4], 16) % 100 + 5
+
+
+@query(
+    "q_audio_constellation",
+    oracle=f"""
+    WITH ids AS (
+        SELECT doc_id, doc_id // {_CONST_MOD} AS base, doc_id % {_CONST_MOD} AS member
+        FROM documents WHERE doc_id % {_CONST_MOD} < 2
+    ),
+    lm AS (
+        SELECT doc_id,
+               CAST(p.f AS BIGINT) AS f,
+               ((CAST('0x' || substr(md5(base || '_' || (p.f + member)), 1, 4) AS INT) % 100) + 5) * 65536
+                 + ((CAST('0x' || substr(md5(base || '_' || (p.f + p.dt + member)), 1, 4) AS INT) % 100) + 5) * 16
+                 + p.dt AS lhash
+        FROM ids,
+             (VALUES (0, 1), (1, 1), (2, 1), (0, 2), (1, 2)) p(f, dt)
+    )
+    SELECT id_a, id_b, delta, CAST(COUNT(*) AS BIGINT) AS votes
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f - b.f AS delta
+        FROM lm a JOIN lm b ON a.lhash = b.lhash AND a.doc_id < b.doc_id
+    )
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_audio_constellation(spark, sf_dir):
+    """Audio near-duplicate matching by constellation fingerprints
+    (Wang 2003 — the Shazam algorithm), end-to-end REAL: 4-frame PCM
+    WAVs playing deterministic tone schedules are synthesized (planted
+    pairs share the schedule shifted by ONE frame — a time-offset
+    duplicate), frames are actually decoded and rFFT'd to landmark
+    peaks (`operators/multimodal.constellation_landmarks`), anchor->
+    target peak pairs hash combinatorially, and matching is the
+    landmark-hash equi-join + offset-consistency vote
+    (`constellation_match`): a true match concentrates votes at one
+    frame delta, random collisions scatter. The audio sibling of
+    q_image_ahash_neardup, completing the multimodal near-dup pair.
+
+    The oracle replays the tone schedules and the landmark/vote
+    algebra in closed form (VALUES over the 5 (f, dt) anchor pairs) —
+    equality proves the frames were really decoded and the peaks
+    really recovered. Scale: landmarks are a scan-speed mapInPandas;
+    the match is hash-equi-join + count — never all-pairs."""
+    import math
+
+    from ..operators.multimodal import (
+        constellation_landmarks,
+        constellation_match,
+        make_pcm_wav,
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                base, member = i // _CONST_MOD, i % _CONST_MOD
+                samples = []
+                for f in range(_CONST_FRAMES):
+                    k = _const_tone(base, member, f)
+                    samples.extend(
+                        int(round(12000 * math.sin(2 * math.pi * k * n / 256)))
+                        for n in range(256)
+                    )
+                payloads.append(make_pcm_wav(8000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _CONST_MOD < 2)
+        .select("doc_id")
+    )
+    payloads = ids.mapInPandas(synth, "doc_id LONG, payload BINARY")
+    lm = constellation_landmarks(payloads, deltas=_CONST_DELTAS)
+    return constellation_match(lm, min_votes=2)
+
+
 @query(
     "q_image_resize_real",
     oracle="""

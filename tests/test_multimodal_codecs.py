@@ -201,3 +201,49 @@ def test_hamming_pigeonhole_guard():
 
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_neardup_pairs(None, max_hamming=8, bands=8)
+
+
+def _tone_wav(tones, amp=12000):
+    samples = []
+    for k in tones:
+        samples.extend(
+            int(round(amp * math.sin(2 * math.pi * k * n / 256))) for n in range(256)
+        )
+    return make_wav(8000, samples)
+
+
+def test_constellation_landmarks_exact(spark):
+    from s3_rds_bq_airflow_spark.operators.multimodal import constellation_landmarks
+
+    tones = [10, 20, 30, 40]
+    df = spark.createDataFrame([(1, _tone_wav(tones))], ["doc_id", "payload"])
+    got = {
+        (r["f"], r["lhash"])
+        for r in constellation_landmarks(df).collect()
+    }
+    want = {
+        (f, tones[f] * 65536 + tones[f + dt] * 16 + dt)
+        for f, dt in [(0, 1), (1, 1), (2, 1), (0, 2), (1, 2)]
+    }
+    assert got == want
+
+
+def test_constellation_match_offset_vote(spark):
+    from s3_rds_bq_airflow_spark.operators.multimodal import (
+        constellation_landmarks,
+        constellation_match,
+    )
+
+    rows = [
+        (1, _tone_wav([10, 20, 30, 40])),
+        (2, _tone_wav([20, 30, 40, 50])),  # doc 1 shifted one frame
+        (3, _tone_wav([71, 83, 97, 61])),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    got = {
+        (r["id_a"], r["id_b"], r["delta"]): r["votes"]
+        for r in constellation_match(constellation_landmarks(df)).collect()
+    }
+    # shared landmarks: (20,30,1),(30,40,1),(20,40,2) at consistent
+    # frame offset +1 (doc1's frame f matches doc2's frame f-1)
+    assert got == {(1, 2, 1): 3}
