@@ -353,6 +353,20 @@ def extract_image_ahash(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def hex64_hamming(col_a: str, col_b: str):
+    """Hamming distance between two 16-hex-char 64-bit hashes as a
+    Column: per-16-bit-chunk conv -> xor -> bit_count (sign-safe —
+    never materializes the full 64-bit value as a signed long)."""
+    return sum(
+        F.bit_count(
+            F.conv(F.substring(col_a, i * 4 + 1, 4), 16, 10).cast("long").bitwiseXOR(
+                F.conv(F.substring(col_b, i * 4 + 1, 4), 16, 10).cast("long")
+            )
+        )
+        for i in range(4)
+    )
+
+
 def hamming_neardup_pairs(
     df: DataFrame,
     *,
@@ -405,14 +419,7 @@ def hamming_neardup_pairs(
         )
         .distinct()
     )
-    hamming = sum(
-        F.bit_count(
-            F.conv(F.substring("ha", i * 4 + 1, 4), 16, 10).cast("long").bitwiseXOR(
-                F.conv(F.substring("hb", i * 4 + 1, 4), 16, 10).cast("long")
-            )
-        )
-        for i in range(4)
-    )
+    hamming = hex64_hamming("ha", "hb")
     return (
         cand.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
@@ -608,6 +615,44 @@ def constellation_match(
         .agg(F.count(F.lit(1)).cast("long").alias("votes"))
         .where(F.col("votes") >= min_votes)
     )
+
+
+def video_frame_ahash(
+    df: DataFrame,
+    *,
+    frame_bytes: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video-shaped frame featurization: split a binary stream into
+    fixed-size frames, REALLY decode each frame (24-bit BMP) and
+    perceptual-hash it — (doc_id, f, ahash) rows. The container here
+    is a raw concatenation of BMP frames (the one video-ish container
+    buildable with numpy alone); an MP4/AVI demuxer would slot into
+    the same split->decode->hash harness. Frames that fail to decode
+    dead-letter silently (emit no row), like the landmark extractor."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("f", T.LongType()),
+            T.StructField("ahash", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                for f in range(len(raw) // frame_bytes):
+                    frame = raw[f * frame_bytes : (f + 1) * frame_bytes]
+                    try:
+                        out.append((doc_id, f, ahash64_hex(frame)[0]))
+                    except ValueError:
+                        continue
+            yield pd.DataFrame(out, columns=["doc_id", "f", "ahash"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def resize_images(

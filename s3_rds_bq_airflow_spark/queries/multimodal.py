@@ -418,6 +418,118 @@ def q_audio_constellation(spark, sf_dir):
     return constellation_match(lm, min_votes=2)
 
 
+# Video-frame-dedup plant: 6 8x8 BMP frames per "video" (raw
+# concatenation), where frame 4 repeats frame 1 exactly and frame 5
+# is frame 2 with one pixel flipped — an exact and a near duplicate
+# frame per video. 8x8 24-bit BMP = 54 + 8*24 = 246 bytes.
+_VIDEO_MOD = 50
+_VIDEO_FRAME_BYTES = 246
+# (f, source frame, flip-pixel-0?) — the dedup structure
+_VIDEO_FRAMES = ((0, 0, 0), (1, 1, 0), (2, 2, 0), (3, 3, 0), (4, 1, 0), (5, 2, 1))
+
+
+@query(
+    "q_video_frame_dedup",
+    oracle=f"""
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % {_VIDEO_MOD} = 0
+    ),
+    fr AS (
+        SELECT doc_id, p.f, p.src, p.flip
+        FROM ids, (VALUES {", ".join(str(t3) for t3 in _VIDEO_FRAMES)}) p(f, src, flip)
+    ),
+    px AS (
+        SELECT doc_id, f, list_transform(range(0, 64), i ->
+                 CASE WHEN flip = 1 AND i = 0
+                      THEN (CAST('0x' || substr(md5(doc_id || '_' || src || '_' || i), 1, 2) AS INT) + 128) % 256
+                      ELSE CAST('0x' || substr(md5(doc_id || '_' || src || '_' || i), 1, 2) AS INT)
+                 END) AS v
+        FROM fr
+    ),
+    bt AS (
+        SELECT doc_id, CAST(f AS BIGINT) AS f,
+               list_transform(range(0, 64),
+                              i -> CASE WHEN 64 * v[i + 1] > list_sum(v) THEN 1 ELSE 0 END) AS b
+        FROM px
+    )
+    SELECT * FROM (
+        SELECT a.doc_id, a.f AS f_a, c.f AS f_b,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> CASE WHEN a.b[i + 1] <> c.b[i + 1] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM bt a JOIN bt c ON a.doc_id = c.doc_id AND a.f < c.f
+    ) WHERE hamming <= 7
+    """,
+)
+def q_video_frame_dedup(spark, sf_dir):
+    """Within-video duplicate-frame detection — the frame-level dedup
+    of video training pipelines (static scenes, looped intros): raw
+    BMP-concatenation "videos" are synthesized with a planted exact
+    duplicate (frame 4 = frame 1) and near duplicate (frame 5 =
+    frame 2 one pixel off), split into frames and REALLY decoded +
+    aHashed (`operators/multimodal.video_frame_ahash`), then frame
+    pairs within each video with Hamming <= 7 are reported via the
+    doc-keyed self-join (bounded: 15 pairs per 6-frame video).
+    Completes the multimodal near-dup triad: q_image_ahash_neardup
+    (cross-image), q_audio_constellation (cross-audio), this
+    (within-video). The oracle replays pixels, aHash bits, and
+    Hamming in closed form — proving the frame split and decode."""
+    import hashlib
+
+    from ..operators.multimodal import (
+        hex64_hamming,
+        make_gray8_bmp,
+        video_frame_ahash,
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        def frame_vals(doc_id, src, flip):
+            v = [
+                int(hashlib.md5(f"{doc_id}_{src}_{i}".encode()).hexdigest()[:2], 16)
+                for i in range(64)
+            ]
+            if flip:
+                v[0] = (v[0] + 128) % 256
+            return v
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                b"".join(
+                    make_gray8_bmp(frame_vals(int(i), src, flip))
+                    for _f, src, flip in _VIDEO_FRAMES
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _VIDEO_MOD == 0)
+        .select("doc_id")
+    )
+    payloads = ids.mapInPandas(synth, "doc_id LONG, payload BINARY")
+    frames = video_frame_ahash(payloads, frame_bytes=_VIDEO_FRAME_BYTES)
+    a, b = frames.alias("a"), frames.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.f") < F.col("b.f")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.f").alias("f_a"),
+            F.col("b.f").alias("f_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .withColumn("hamming", hex64_hamming("ha", "hb").cast("long"))
+        .where(F.col("hamming") <= 7)
+        .select("doc_id", "f_a", "f_b", "hamming")
+    )
+
+
 @query(
     "q_image_resize_real",
     oracle="""

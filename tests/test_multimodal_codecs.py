@@ -247,3 +247,24 @@ def test_constellation_match_offset_vote(spark):
     # shared landmarks: (20,30,1),(30,40,1),(20,40,2) at consistent
     # frame offset +1 (doc1's frame f matches doc2's frame f-1)
     assert got == {(1, 2, 1): 3}
+
+
+def test_video_frame_ahash_splits_and_hashes(spark):
+    from s3_rds_bq_airflow_spark.operators.multimodal import (
+        ahash64_hex,
+        make_gray8_bmp,
+        video_frame_ahash,
+    )
+
+    f0 = make_gray8_bmp([(i * 3) % 256 for i in range(64)])
+    f1 = make_gray8_bmp([(i * 5 + 7) % 256 for i in range(64)])
+    df = spark.createDataFrame([(9, f0 + f1 + f0)], ["doc_id", "payload"])
+    got = {
+        (r["f"], r["ahash"])
+        for r in video_frame_ahash(df, frame_bytes=len(f0)).collect()
+    }
+    assert got == {
+        (0, ahash64_hex(f0)[0]),
+        (1, ahash64_hex(f1)[0]),
+        (2, ahash64_hex(f0)[0]),
+    }
