@@ -249,3 +249,43 @@ def q_stratified_sample(spark, sf_dir):
             dsum("o_totalprice").alias("sampled_price"),
         )
     )
+
+
+_BOTTOMK = 1000
+
+
+@query(
+    "q_bottomk_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS h
+    FROM orders
+    ORDER BY MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT {_BOTTOMK}
+    """,
+)
+def q_bottomk_sample(spark, sf_dir):
+    """Exact-size uniform sample via bottom-k-by-hash — the
+    deterministic alternative to reservoir sampling: the k rows with
+    the smallest md5(key) are a uniform random subset of ANY input
+    size, reproducible across engines, runs, and partitionings (which
+    rand()-based sampling is not), and incrementally mergeable (the
+    bottom-k of a union is the bottom-k of the parts' bottom-ks — the
+    KMV sketch identity).
+
+    Scale shape: TakeOrdered — each partition keeps its local k, the
+    driver merges P*k candidates; no global sort, no full shuffle.
+    Bernoulli-rate sampling (q_hash_sample) trades exact size for
+    zero coordination; bottom-k pins the budget exactly, which is
+    what an eval-set or labeling-batch extraction needs."""
+    o = t(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.substring(h, 1, 8).alias("h"),
+        )
+        .orderBy(h, "o_orderkey")
+        .limit(_BOTTOMK)
+    )

@@ -574,3 +574,193 @@ def q_incremental_join(spark, sf_dir):
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+# Snapshot-diff fixture: deterministic mutations of the orders table
+# (removed / changed / added slices) so the expected diff is closed-
+# form and identical in both engines.
+_DIFF_REMOVED_MOD = 37
+_DIFF_CHANGED_MOD = 11
+_DIFF_ADDED_MOD = 53
+_DIFF_ADDED_SHIFT = 100000000
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               MD5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                   CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                   || '|' || strftime(o_orderdate, '%Y-%m-%d')) AS h
+        FROM orders
+    ),
+    b_rows AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % {_DIFF_CHANGED_MOD} = 0
+                          THEN 100 ELSE 0 END AS cents,
+               strftime(o_orderdate, '%Y-%m-%d') AS d
+        FROM orders WHERE o_orderkey % {_DIFF_REMOVED_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey + {_DIFF_ADDED_SHIFT}, o_custkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+               strftime(o_orderdate, '%Y-%m-%d')
+        FROM orders WHERE o_orderkey % {_DIFF_ADDED_MOD} = 0
+    ),
+    b AS (
+        SELECT k, MD5(CAST(k AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                      || '|' || o_orderstatus || '|' ||
+                      CAST(cents AS VARCHAR) || '|' || d) AS h
+        FROM b_rows
+    )
+    SELECT COALESCE(a.k, b.k) AS o_orderkey,
+           CASE WHEN b.k IS NULL THEN 'removed'
+                WHEN a.k IS NULL THEN 'added'
+                ELSE 'changed' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL OR a.h <> b.h
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level snapshot diff — the reconciliation primitive behind
+    CDC validation and warehouse audit (the reference's A2/A3 count
+    reconciliation, `rds-to-bq.py`, upgraded from "are the counts
+    equal" to "WHICH rows differ and how"): full-outer join of two
+    snapshots on the primary key comparing a canonical row hash,
+    classifying every difference as added / removed / changed.
+
+    The row hash concatenates key columns with doubles pre-quantized
+    to integer cents (raw double->string casts format differently
+    across engines) and dates rendered at day precision — the same
+    canonicalization discipline as the driver's own value hash.
+
+    Scale shape: one hash-partitioned join on the PK; both sides
+    shuffle once (at 100 TB, snapshots stored bucketed by PK diff
+    with ZERO exchange — see operators/storage bucketing), the hash
+    collapses arbitrary row width to 32 bytes before the shuffle, and
+    unchanged rows (the overwhelming majority) are filtered at the
+    join, so output is proportional to the CHANGE volume, not the
+    table."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def row_hash(key, cents_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                key.cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                cents_col.cast("string"),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+            )
+        )
+
+    a = orders.select(
+        F.col("o_orderkey").alias("k"), row_hash(F.col("o_orderkey"), cents).alias("h")
+    )
+    changed_cents = cents + F.when(
+        F.col("o_orderkey") % _DIFF_CHANGED_MOD == 0, 100
+    ).otherwise(0)
+    b = (
+        orders.where(F.col("o_orderkey") % _DIFF_REMOVED_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            row_hash(F.col("o_orderkey"), changed_cents).alias("h"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % _DIFF_ADDED_MOD == 0).select(
+                (F.col("o_orderkey") + _DIFF_ADDED_SHIFT).alias("k"),
+                row_hash(F.col("o_orderkey") + _DIFF_ADDED_SHIFT, cents).alias("h"),
+            )
+        )
+    )
+    ab = a.select(F.col("k").alias("ak"), F.col("h").alias("ah")).join(
+        b.select(F.col("k").alias("bk"), F.col("h").alias("bh")),
+        F.col("ak") == F.col("bk"),
+        "full_outer",
+    )
+    return (
+        ab.where(
+            F.col("ak").isNull()
+            | F.col("bk").isNull()
+            | (F.col("ah") != F.col("bh"))
+        )
+        .select(
+            F.coalesce("ak", "bk").alias("o_orderkey"),
+            F.when(F.col("bk").isNull(), "removed")
+            .when(F.col("ak").isNull(), "added")
+            .otherwise("changed")
+            .alias("change_type"),
+        )
+    )
+
+
+_BKT_N = 8
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus, l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0) o
+    JOIN (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0) l
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus, l.l_returnflag
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed storage (SURVEY M7's
+    clustering tier, the Hive/Iceberg bucketing contract): both sides
+    written `bucketBy(8, key)` + `sortBy(key)` as managed tables, so
+    the join compiles with ZERO Exchange — the property is ASSERTED
+    inside the query (shuffle_count == 0 raises on regression, so the
+    driver run itself would go red if bucketing ever stopped lining
+    up).
+
+    This is THE 100 TB posture for repeated fact-fact joins: pay the
+    bucketed write once, then every subsequent join/aggregate on the
+    bucket key is exchange-free regardless of table size. The oracle
+    is the plain join on the same slices — values prove the bucketed
+    re-layout is semantics-preserving."""
+    from ..plans.inspect import shuffle_count
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0)
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 2 == 0)
+    # External tables at a fresh temp location: bucket METADATA needs a
+    # catalog entry (plain .parquet() writes lose it), but a managed
+    # table's warehouse dir would collide across driver sessions.
+    base = tempfile.mkdtemp(prefix="engine_bkt_")
+    spark.sql("DROP TABLE IF EXISTS engine_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS engine_bkt_lineitem")
+    (
+        o.write.mode("overwrite")
+        .option("path", os.path.join(base, "orders"))
+        .bucketBy(_BKT_N, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("engine_bkt_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .option("path", os.path.join(base, "lineitem"))
+        .bucketBy(_BKT_N, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("engine_bkt_lineitem")
+    )
+    ob = spark.table("engine_bkt_orders")
+    lb = spark.table("engine_bkt_lineitem")
+    joined = ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+    n_shuffles = shuffle_count(joined)
+    if n_shuffles != 0:
+        raise AssertionError(
+            f"bucketed join compiled with {n_shuffles} exchanges (want 0)"
+        )
+    return joined.groupBy("o_orderstatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )

@@ -129,6 +129,153 @@ def q_approx_quantiles(spark, sf_dir):
     )
 
 
+# Bloom-filter semi-join reduction. m bits / k hashes are FIXED so the
+# DuckDB oracle can reproduce the exact same filter (positions derive
+# from md5, identical in both engines). Production sizing is m ~= 10
+# bits per build key (fp ~1%); 8192 is deliberately small so the
+# false-positive accounting path is exercised at test scale.
+_BLOOM_M = 8192
+_BLOOM_WORDS = _BLOOM_M // 64
+_BLOOM_K = 3
+_BLOOM_BUILD_PRED = (
+    "o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'"
+)
+
+
+def _bloom_pos(key_col: F.Column, j: int) -> F.Column:
+    """Bit position j for a key: md5-derived 32-bit int mod m —
+    byte-identical to the oracle's '0x'||substr(md5(...)) cast."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key_col.cast("string"), F.lit(f"#{j}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _BLOOM_M
+
+
+def _bloom_oracle_pos(key_sql: str, j: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || '#{j}'), 1, 8) "
+        f"AS BIGINT) % {_BLOOM_M})"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+    SELECT DISTINCT o_orderkey FROM orders WHERE {_BLOOM_BUILD_PRED}
+),
+pos AS (
+    SELECT DISTINCT {_bloom_oracle_pos('o_orderkey', 0)} AS p FROM build
+    UNION
+    SELECT DISTINCT {_bloom_oracle_pos('o_orderkey', 1)} FROM build
+    UNION
+    SELECT DISTINCT {_bloom_oracle_pos('o_orderkey', 2)} FROM build
+),
+cand AS (
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE {_bloom_oracle_pos('l_orderkey', 0)} IN (SELECT p FROM pos)
+      AND {_bloom_oracle_pos('l_orderkey', 1)} IN (SELECT p FROM pos)
+      AND {_bloom_oracle_pos('l_orderkey', 2)} IN (SELECT p FROM pos)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_matches,
+       CAST(SUM(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positives,
+       CAST(SUM(CASE WHEN b.o_orderkey IS NOT NULL
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS true_revenue
+FROM cand LEFT JOIN build b ON cand.l_orderkey = b.o_orderkey
+"""
+
+
+@query("q_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join reduction — the runtime-filtering shape
+    every warehouse engine uses to avoid shuffling a fact table for a
+    selective dim filter: build a k-hash bitset over the qualifying
+    build-side keys (one month of orders), broadcast the BITSET (128
+    longs — size independent of build cardinality, unlike an IN-list),
+    and pre-filter lineitem with a pure codegen expression before the
+    verification join ever runs.
+
+    At 100 TB the fact scan emits only bloom-passing rows, so the
+    subsequent exact join shuffles ~0.1% of the table; the bitmap
+    build aggregates positions with bit_or (map-side combined,
+    ~m/64 = 128 result rows — a config-sized driver collect, same
+    class as IVF centroids). The oracle reproduces the EXACT filter
+    (same md5-derived positions, set-membership == bit-test), so the
+    hash check proves the reduction is semantics-preserving including
+    its false positives (n_false_positives > 0 at test m=8192 by
+    design).
+
+    Spark's own AQE runtime bloom (spark.sql.optimizer.runtime.
+    bloomFilter.enabled) does this transparently for InSubquery
+    joins; the explicit operator covers the cases AQE can't see —
+    cross-job reuse (build once, filter many scans) and
+    user-controlled m/k."""
+    build = (
+        t(spark, sf_dir, "orders")
+        .where(F.expr(_BLOOM_BUILD_PRED))
+        .select("o_orderkey")
+        .distinct()
+    )
+    pos = build.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("o_orderkey"), j) for j in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    word_rows = (
+        pos.groupBy(F.shiftright("pos", 6).alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitmap = [0] * _BLOOM_WORDS
+    for row in word_rows:
+        bitmap[row["w"]] = row["bits"]
+    # The broadcast bitset enters the plan as ONE array literal; the
+    # probe is a pure codegen expression over it (no join, no shuffle).
+    arr_sql = "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
+
+    def pos_sql(j: int) -> str:
+        return (
+            "(CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), "
+            f"'#{j}')), 1, 8), 16, 10) AS BIGINT) % {_BLOOM_M})"
+        )
+
+    member_sql = " AND ".join(
+        f"(element_at({arr_sql}, CAST(shiftright({pos_sql(j)}, 6) + 1 AS INT)) "
+        f"& shiftleft(CAST(1 AS BIGINT), CAST({pos_sql(j)} % 64 AS INT))) != 0"
+        for j in range(_BLOOM_K)
+    )
+    cand = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .where(F.expr(member_sql))
+    )
+    verified = cand.join(
+        F.broadcast(build), cand["l_orderkey"] == build["o_orderkey"], "left"
+    )
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_matches"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull(), dec("l_extendedprice")))
+        .cast("double")
+        .alias("true_revenue"),
+    )
+
+
 @query(
     "q_json_unpack_view",
     oracle="""

@@ -676,3 +676,189 @@ def q_mad_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+# Count-Min sketch geometry — FIXED so the oracle rebuilds the exact
+# same sketch (hash positions derive from md5, identical in both
+# engines). Production sizing: w = ceil(e/eps), d = ceil(ln(1/dl)).
+_CMS_D = 3
+_CMS_W = 256
+
+
+def _cms_pos_sql(key_sql: str, j: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || '#{j}'), 1, 8) "
+        f"AS BIGINT) % {_CMS_W})"
+    )
+
+
+@query(
+    "q_countmin_freq",
+    oracle=f"""
+    WITH cells AS (
+        SELECT j, c, COUNT(*) AS cnt FROM (
+            SELECT 0 AS j, {_cms_pos_sql('l_partkey', 0)} AS c FROM lineitem
+            UNION ALL
+            SELECT 1, {_cms_pos_sql('l_partkey', 1)} FROM lineitem
+            UNION ALL
+            SELECT 2, {_cms_pos_sql('l_partkey', 2)} FROM lineitem
+        ) GROUP BY j, c
+    ),
+    probes AS (
+        SELECT l_partkey AS k, COUNT(*) AS exact_cnt
+        FROM lineitem WHERE l_partkey <= 20 GROUP BY l_partkey
+    ),
+    est AS (
+        SELECT p.k, p.exact_cnt, MIN(cells.cnt) AS est_cnt
+        FROM probes p
+        JOIN cells ON (cells.j = 0 AND cells.c = {_cms_pos_sql('p.k', 0)})
+                   OR (cells.j = 1 AND cells.c = {_cms_pos_sql('p.k', 1)})
+                   OR (cells.j = 2 AND cells.c = {_cms_pos_sql('p.k', 2)})
+        GROUP BY p.k, p.exact_cnt
+    )
+    SELECT k AS l_partkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def q_countmin_freq(spark, sf_dir):
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): a d=3 x w=1024 counter grid where each input increments one
+    md5-derived cell per hash row and a key's estimate is the MIN of
+    its d cells — never an underestimate, overestimate bounded by
+    collision mass. The deterministic complement to Misra-Gries
+    (q_heavy_hitters): MG tracks WHO is heavy, CMS answers point
+    frequency queries for ANY key from fixed-size state.
+
+    Scale shape: the sketch build is one (j, cell) aggregation —
+    3 rows per input, map-side combined to <= 3072 cells TOTAL
+    regardless of input size, then mergeable across partitions,
+    days, or streams by cell-wise addition. Probing broadcasts the
+    sketch (3072 rows) against the probe keys. The output carries
+    exact vs estimated side by side, so the hash check certifies the
+    sketch's deterministic construction AND its overestimate
+    accounting (min-of-row-counts reproduced bit-for-bit by the
+    oracle)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def pos(key_col, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f"#{j}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    entries = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        pos(F.col("l_partkey"), j).alias("c"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("e")
+    ).select("e.j", "e.c")
+    cells = entries.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+    probes = (
+        li.where(F.col("l_partkey") <= 20)
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probe_pos = probes.select(
+        "k",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(F.col("k"), j).alias("c"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("k", "exact_cnt", "e.j", "e.c")
+    est = (
+        probe_pos.join(F.broadcast(cells), ["j", "c"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(FLOOR(
+                CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                     WHEN l.l_extendedprice > b.hi THEN b.hi
+                     ELSE l.l_extendedprice END * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_clipped_cents
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization — the outlier treatment feature
+    pipelines apply before scaling (clip at p05/p95 instead of
+    dropping): exact interpolated group percentiles (portable per the
+    q_percentiles precedent — both engines interpolate linearly over
+    sorted values), values clamped to [lo, hi], clipped mass
+    accounted on both tails.
+
+    Numeric gear: the clamped value is either an input double or the
+    group bound — both bit-identical across engines — so
+    floor(x*100+0.5) quantizes identically per row and the group sum
+    is exact integer arithmetic (never a float accumulation). Scale
+    shape: one percentile aggregate (group-count-sized result,
+    broadcast back — at 100 TB swap in approx_percentile for the
+    per-group sort), one codegen clamp pass, one rollup reusing the
+    group key."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clipped = (
+        F.when(F.col("l_extendedprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("l_extendedprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.sum(F.floor(clipped * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_clipped_cents"),
+    )

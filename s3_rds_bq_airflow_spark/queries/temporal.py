@@ -297,3 +297,170 @@ def q_interval_overlap(spark, sf_dir):
         .select("user_id", "day", F.lit(0).cast("long").alias("n_overlapping_incidents"))
     )
     return counts.unionByName(zero)
+
+
+# EWMA tail depth and the quantization scale of the int3 gear.
+_EWMA_K = 20
+_EWMA_SCALE = 1000
+
+
+@query(
+    "q_ewma_per_user",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(FLOOR(value * {_EWMA_SCALE} + 0.5) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(SUM(v * (CAST(1 AS BIGINT) << ({_EWMA_K} - rn))) AS DOUBLE)
+               / SUM(CAST(1 AS BIGINT) << ({_EWMA_K} - rn)) AS ewma
+    FROM ranked WHERE rn <= {_EWMA_K}
+    GROUP BY user_id
+    """,
+)
+def q_ewma_per_user(spark, sf_dir):
+    """Per-user exponentially weighted moving average (half-life = 1
+    observation) over the trailing 20 events — the streaming-feature
+    shape behind rate limiters, anomaly scores, and engagement decay.
+
+    Numeric gear: alpha = 1/2 makes every weight an exact power of
+    two, so the weighted sum is EXACT 64-bit integer arithmetic over
+    int3-quantized values (floor(value*1000 + 0.5)); the single final
+    division of two exact integers is correctly rounded IEEE — bit-
+    identical cross-engine, no transcendentals, no float summation
+    order. Bound: |v| < 2^21, tail 20, top weight 2^19 -> |S| <
+    20 * 2^40 << 2^53.
+
+    Scale shape: one shuffle on user_id for the row_number window,
+    then the rollup reuses that partitioning (no second exchange);
+    the trailing-K cut happens BEFORE aggregation so per-user state
+    is bounded at K rows regardless of history length — the same
+    posture a 100 TB event store needs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("value") * _EWMA_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= _EWMA_K)
+    )
+    weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_K} - rn)")
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        (F.sum(F.col("v") * weight).cast("double") / F.sum(weight)).alias("ewma"),
+    )
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    pr AS (
+        SELECT e.event_id, e.user_id, e.ts, pp.ts AS prior_ts
+        FROM events e ASOF LEFT JOIN p pp
+          ON e.user_id = pp.user_id AND e.ts >= pp.ts
+    ),
+    nx AS (
+        SELECT e.event_id, pn.ts AS next_ts
+        FROM events e ASOF LEFT JOIN p pn
+          ON e.user_id = pn.user_id AND e.ts <= pn.ts
+    ),
+    j AS (SELECT pr.*, nx.next_ts FROM pr JOIN nx USING (event_id))
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CASE WHEN prior_ts IS NULL AND next_ts IS NULL THEN 'none'
+                WHEN next_ts IS NULL THEN 'prior'
+                WHEN prior_ts IS NULL THEN 'next'
+                WHEN date_diff('microsecond', prior_ts, ts)
+                     <= date_diff('microsecond', ts, next_ts) THEN 'prior'
+                ELSE 'next' END AS direction,
+           strftime(CASE WHEN prior_ts IS NULL AND next_ts IS NULL THEN NULL
+                WHEN next_ts IS NULL THEN prior_ts
+                WHEN prior_ts IS NULL THEN next_ts
+                WHEN date_diff('microsecond', prior_ts, ts)
+                     <= date_diff('microsecond', ts, next_ts) THEN prior_ts
+                ELSE next_ts END, '%Y-%m-%d %H:%M:%S') AS nearest_purchase_ts,
+           CAST(CASE WHEN prior_ts IS NULL AND next_ts IS NULL THEN NULL
+                WHEN next_ts IS NULL THEN date_diff('microsecond', prior_ts, ts)
+                WHEN prior_ts IS NULL THEN date_diff('microsecond', ts, next_ts)
+                WHEN date_diff('microsecond', prior_ts, ts)
+                     <= date_diff('microsecond', ts, next_ts)
+                     THEN date_diff('microsecond', prior_ts, ts)
+                ELSE date_diff('microsecond', ts, next_ts) END AS BIGINT) AS delta_us
+    FROM j
+    """,
+)
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each event matches the user's purchase with
+    the smallest |time delta|, looking BOTH backward and forward; ties
+    prefer the prior side. The backward-only variant is q_asof_join.
+
+    Spark composition: union events+purchases, ONE hash shuffle on
+    user_id, then two windows over the SAME partitioning (ascending
+    carry-forward for the prior purchase, descending for the next) —
+    the second window re-sorts in place without a second exchange.
+    Purchases order before events at equal ts in both directions, so
+    an exact-ts purchase yields delta 0 on both sides and the tie
+    rule picks 'prior'. Oracle: two native DuckDB ASOF joins (>= and
+    <=) plus the same tie arithmetic, exact integer microseconds."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "ts", F.lit(0).alias("is_p"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+    )
+    u = ev.unionByName(p)
+    p_ts = F.when(F.col("is_p") == 1, F.col("ts"))
+    w_asc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_p"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("is_p"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_p",
+        F.last(p_ts, ignorenulls=True).over(w_asc).alias("prior_ts"),
+        F.last(p_ts, ignorenulls=True).over(w_desc).alias("next_ts"),
+    ).where(F.col("is_p") == 0)
+    d_prior = F.timestamp_diff("MICROSECOND", F.col("prior_ts"), F.col("ts"))
+    d_next = F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("next_ts"))
+    prefer_prior = F.col("next_ts").isNull() | (
+        F.col("prior_ts").isNotNull() & (d_prior <= d_next)
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts"),
+        F.when(F.col("prior_ts").isNull() & F.col("next_ts").isNull(), "none")
+        .when(prefer_prior, "prior")
+        .otherwise("next")
+        .alias("direction"),
+        ts_str(F.when(prefer_prior, F.col("prior_ts")).otherwise(F.col("next_ts")))
+        .alias("nearest_purchase_ts"),
+        F.when(prefer_prior, d_prior)
+        .otherwise(d_next)
+        .cast("long")
+        .alias("delta_us"),
+    )

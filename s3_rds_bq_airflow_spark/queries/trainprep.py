@@ -1054,3 +1054,197 @@ def q_split_safe(spark, sf_dir):
         )
         .crossJoin(F.broadcast(leak_count))
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH toksrc AS (
+        SELECT doc_id, {{TOKENS}} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            list_transform(range(1, GREATEST(LEN(toks) - 3, 1)),
+                           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM toksrc
+    ),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+           CAST(COUNT(*) - SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_ratio
+    FROM grams g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """.replace("{TOKENS}", _TOKENS_SQL),
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-corpus n-gram novelty scoring (the D4/'semantic
+    diversity' family's cheap exact cousin): for each document, how
+    many of its distinct 5-grams FIRST appeared in an earlier
+    document (doc_id order = ingestion order)? Low novelty marks
+    boilerplate and template spam that per-document quality gates
+    miss because every individual copy looks fine.
+
+    Scale shape: one gram-keyed aggregation for first-appearance
+    (map-side combined; min is mergeable so this is incremental-
+    friendly — yesterday's firsts fold into today's), one gram-keyed
+    join back, one doc-keyed rollup. Skewed stock phrases are
+    AQE-splittable; nothing is all-pairs and no executor holds more
+    than one gram's posting at a time. The novelty ratio is exact
+    integers divided once — bit-identical cross-engine."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        F.lit("[a-z0-9]+"),
+        F.lit(0),
+    )
+    n = F.size("toks")
+    seq = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(seq, lambda i: F.concat_ws(" ", F.slice("toks", i, 5)))
+            )
+        ).alias("gram"),
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+            (
+                (
+                    F.count(F.lit(1))
+                    - F.sum(
+                        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+# Corpus-level paragraph dedup (the CCNet pass): documents are cut
+# into fixed 12-token paragraphs, every paragraph whose normalized
+# hash already appeared earlier in the corpus (by (doc_id, idx)
+# order) is removed, and each document is reconstructed from its
+# surviving paragraphs.
+_PARA_TOKENS = 12
+
+
+@query(
+    "q_paragraph_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split({_CHUNK_NORM_SQL}, ' ') AS tk FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, tk, unnest(range(0, len(tk), {_PARA_TOKENS})) AS s
+        FROM base
+    ),
+    p AS (
+        SELECT doc_id, CAST(s / {_PARA_TOKENS} AS BIGINT) AS idx,
+               array_to_string(list_slice(tk, s + 1, s + {_PARA_TOKENS}), ' ') AS para
+        FROM starts
+    ),
+    ranked AS (
+        SELECT doc_id, idx, para,
+               ROW_NUMBER() OVER (PARTITION BY MD5(para)
+                                  ORDER BY doc_id, idx) AS rn
+        FROM p
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_paragraphs FROM p GROUP BY doc_id),
+    ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               MD5(string_agg(para, ' ' ORDER BY idx)) AS kept_fp
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_paragraphs AS BIGINT) AS n_paragraphs,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_paragraphs - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(ka.kept_fp, '') AS kept_fp
+    FROM tot t LEFT JOIN ka USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide duplicate-paragraph removal — the CCNet
+    paragraph-hash pass that strips boilerplate (headers, footers,
+    license blurbs) repeated across documents while document-level
+    dedup sees every copy as unique. Paragraphs are fixed 12-token
+    blocks (the synthetic corpus has no sentence punctuation); the
+    FIRST occurrence in (doc_id, paragraph-index) order survives,
+    and each document is rebuilt from its surviving paragraphs
+    (kept_fp = md5 of the reconstruction, so the oracle checks the
+    rebuild, not just the counts).
+
+    Scale shape: one shuffle keyed on the paragraph hash for the
+    first-occurrence window (row_number over md5(para) — equivalent
+    to a min-by aggregate, mergeable and AQE-splittable on stock
+    boilerplate), then one doc-keyed rollup whose collect_list is
+    bounded by the document's own paragraph count. Nothing all-pairs,
+    no driver-side state; this composes with q_dedup_exact (document
+    tier) and q_dup_span_detect (span tier) as the middle granularity
+    of the dedup stack."""
+    from pyspark.sql import Window
+    from ..queries.textops import normalized_text
+
+    toks = F.split(normalized_text(), " ")
+    n = F.size(toks)
+    p = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(_PARA_TOKENS))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / _PARA_TOKENS).cast("long").alias("idx"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("s") + 1, _PARA_TOKENS), " "
+            ).alias("para"),
+        )
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "idx")
+    ranked = p.withColumn("rn", F.row_number().over(w))
+    tot = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    ka = (
+        ranked.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "para"))
+                        ),
+                        lambda x: x["para"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+    )
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_paragraphs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_paragraphs") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("kept_fp", F.lit("")).alias("kept_fp"),
+    )

@@ -234,3 +234,44 @@ def test_minhash_lsh_candidates_are_banded_equi_join(spark, sf_dir):
         assert key_lines, "no join keyed on (band, sig) in plan:\n" + txt[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_prefilter_probe_is_pure_filter(q):
+    """The bloom probe must be a codegen Filter over the fact scan —
+    no join, no exchange, before the (broadcast) verification join.
+    If the bitset ever degrades to an IN-subquery or position join,
+    a shuffle appears on the fact side and this pin fails."""
+    df = q("q_bloom_prefilter")
+    nodes = plan_nodes(df)
+    joins = [n for n in nodes if "Join" in n]
+    # exactly one join in the whole plan: the broadcast verification
+    # join of candidates vs build keys.
+    assert len([n for n in joins if "BroadcastHashJoin" in n]) >= 1
+    assert not any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in joins)
+    # two key-sized exchanges only: the build-side keys distinct and
+    # the final single-row aggregate — the FACT side contributes none.
+    assert_max_shuffles(df, 2)
+
+
+def test_asof_nearest_single_exchange(q):
+    """Both direction windows must reuse ONE user_id hash exchange —
+    a second exchange means the desc window lost the partitioning."""
+    df = q("q_asof_nearest")
+    assert_max_shuffles(df, 1)
+
+
+def test_snapshot_diff_no_broadcast_of_fact(q):
+    """Snapshot diff joins two same-sized snapshots: neither side may
+    be broadcast (a fact-sized broadcast melts executors at scale)."""
+    df = q("q_snapshot_diff")
+    nodes = plan_nodes(df)
+    assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in nodes)
+    assert not any("BroadcastHashJoin" in n for n in nodes)
+
+
+def test_bottomk_sample_is_take_ordered(q):
+    """Bottom-k-by-hash must compile to TakeOrdered (per-partition
+    local k + driver merge), never a global Sort."""
+    nodes = plan_nodes(q("q_bottomk_sample"))
+    assert any("TakeOrderedAndProject" in n for n in nodes)
+    assert not any(n.strip().startswith("Sort ") and "global=true" in n for n in nodes)
