@@ -289,3 +289,108 @@ def q_bottomk_sample(spark, sf_dir):
         .orderBy(h, "o_orderkey")
         .limit(_BOTTOMK)
     )
+
+
+_STRAT_K = 50
+
+
+@query(
+    "q_stratified_bottomk",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey,
+               SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS h,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY MD5(CAST(o_orderkey AS VARCHAR)),
+                                           o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_orderstatus, o_orderkey, h
+    FROM ranked WHERE rn <= {_STRAT_K}
+    """,
+)
+def q_stratified_bottomk(spark, sf_dir):
+    """Stratified exact-size sampling: bottom-k-by-hash WITHIN each
+    stratum (k=50 per order status) — equal representation from
+    unequal strata, which Bernoulli stratified sampling
+    (q_stratified_sample) can only hit in expectation. Same KMV
+    determinism as q_bottomk_sample, so the per-stratum samples are
+    reproducible and mergeable.
+
+    Scale shape: one shuffle on the stratum key for the row_number
+    window; at 100 TB strata are far fewer than partitions, so a
+    two-phase refinement (per-partition local k, then global k of
+    the P*k candidates) bounds the sort — the window form here is
+    the semantic spec both phases must equal."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_orderstatus").orderBy(h, F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.substring(h, 1, 8).alias("h"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= _STRAT_K)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_zonemap_prune",
+    oracle="""
+    WITH zones AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS zone,
+               COUNT(*) AS n_rows,
+               MAX(o_orderdate) AS max_date,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY zone
+    )
+    SELECT zone, CAST(n_rows AS BIGINT) AS n_rows,
+           CASE WHEN max_date < TIMESTAMP '2000-06-01' THEN 1 ELSE 0 END
+               AS skipped,
+           CAST(CASE WHEN max_date < TIMESTAMP '2000-06-01'
+                     THEN 0 ELSE n_rows END AS BIGINT) AS rows_scanned
+    FROM zones
+    """,
+)
+def q_zonemap_prune(spark, sf_dir):
+    """Zone-map (min/max statistics) pruning audit — the data-
+    skipping layer every columnar warehouse puts between predicate
+    and scan: per zone (here: order month, standing in for a parquet
+    row group or Iceberg data file), the maintained min/max of the
+    filter column decides whether the predicate `o_totalprice >
+    450000` can touch it at all. The query materializes that
+    decision per zone — skipped flag and surviving scan volume — so
+    the stats-maintenance path itself is oracle-checked.
+
+    Scale shape: zone stats are a zone-count-sized aggregate
+    maintained incrementally at write time in practice; the prune
+    decision is a constant-time comparison per zone, never a data
+    scan. This is the explicit form of what the engine's parquet
+    scans already do implicitly (pinned by the PushedFilters plan
+    tests): predicate pushdown -> row-group skip via these exact
+    stats."""
+    zones = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("o_orderdate").alias("max_date"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    prune = F.col("max_date") < F.lit("2000-06-01").cast("timestamp_ntz")
+    return zones.select(
+        "zone",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.when(prune, 1).otherwise(0).alias("skipped"),
+        F.when(prune, F.lit(0)).otherwise(F.col("n_rows")).cast("long").alias(
+            "rows_scanned"
+        ),
+    )

@@ -342,3 +342,105 @@ def q_gaps_islands(spark, sf_dir):
         .cast("string")
         .alias("longest_run_start"),
     )
+
+
+@query(
+    "q_rolling_distinct_users",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    contrib AS (
+        SELECT d + CAST(x AS INT) AS day, user_id
+        FROM days, UNNEST(range(0, 7)) AS t(x)
+    ),
+    bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+               FROM events)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM contrib, bounds
+    WHERE day BETWEEN bounds.lo AND bounds.hi
+    GROUP BY day
+    """,
+)
+def q_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct active users — the DAU/WAU engagement
+    metric. COUNT(DISTINCT) over a sliding RANGE window is not
+    directly computable by any engine's window operator (distinct
+    state is not mergeable across frame slides), so the scalable
+    rewrite is contribution-expansion: each event contributes its
+    user to the 7 daily windows ending on day d..d+6, then one plain
+    (day, user) distinct aggregation. Constant 7x fanout of
+    day-grained pairs (pre-shrunk by a per-day dedup at 100 TB),
+    never a per-window re-scan; the same shape computes any k-day
+    window in one pass."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d"), "user_id")
+    contrib = days.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("x")).alias("day"), "user_id")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users_7d"
+        )
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS row_total FROM trans GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           CAST(t.n AS DOUBLE) / tot.row_total AS p
+    FROM trans t JOIN tot USING (prev_type)
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral model behind next-action prediction
+    and bot detection (bots have degenerate transition rows). LAG
+    within (user, time) order pairs consecutive events; transition
+    probability = exact count ratio (two integers, one division —
+    bit-portable).
+
+    Scale shape: one user_id shuffle for the lag window, then the
+    transition rollup is event-type-squared-sized (tiny) with
+    map-side combine; row totals join at that same tiny size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return trans.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+    )

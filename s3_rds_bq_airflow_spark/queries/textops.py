@@ -1684,3 +1684,72 @@ def q_lang_confusion(spark, sf_dir):
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_topp_nucleus",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split({NORMALIZE_SQL}, ' ')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token),
+    ranked AS (
+        SELECT lang, token, n,
+               SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY lang) AS total
+        FROM freq
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           CAST(SUM(CASE WHEN 10 * (cum - n) < 9 * total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN 10 * (cum - n) < 9 * total THEN n ELSE 0 END)
+                AS DOUBLE) / MAX(total) AS kept_coverage
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def q_topp_nucleus(spark, sf_dir):
+    """Top-p (nucleus) vocabulary truncation per language — the
+    sampling-time cutoff of Holtzman et al. applied corpus-side:
+    keep the smallest count-descending prefix of the token
+    distribution whose cumulative mass reaches p = 0.9. A token
+    survives iff the mass BEFORE it is still under p, expressed as
+    the exact integer comparison 10*(cum - n) < 9*total — no float
+    thresholds, so the kept set is bit-identical cross-engine; the
+    coverage ratio is one final division of exact integers.
+
+    Scale shape: token-frequency aggregate (map-side combined), then
+    a per-language cumulative window over the VOCABULARY (not the
+    corpus — the heavy explode collapses before any sort), then a
+    language-sized rollup. The tie order (count desc, token asc) is
+    total, so the prefix is well-defined."""
+    from pyspark.sql import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(normalized_text(), " ")).alias("token")
+    )
+    freq = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("lang")
+    ranked = freq.select(
+        "lang",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    kept = (10 * (F.col("cum") - F.col("n"))) < (9 * F.col("total"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        (
+            F.sum(F.when(kept, F.col("n")).otherwise(0)).cast("double")
+            / F.max("total")
+        ).alias("kept_coverage"),
+    )
