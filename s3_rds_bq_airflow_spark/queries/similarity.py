@@ -1048,3 +1048,94 @@ def q_jl_projection(spark, sf_dir):
         )
         out = out.withColumn(f"p{j}", proj)
     return out.drop("_q")
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+    WITH q AS (
+        SELECT label, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    counts AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+    comp AS (SELECT label, unnest(range(1, 65)) AS d, qv FROM q),
+    sums AS (SELECT label, d, SUM(qv[d]) AS s FROM comp GROUP BY label, d),
+    ls AS (SELECT s.label, s.d, s.s, c.n FROM sums s JOIN counts c USING (label)),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s * b.n - b.s * a.n AS HUGEINT) AS delta
+        FROM ls a JOIN ls b ON a.d = b.d AND a.label < b.label
+    )
+    SELECT label_a, label_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(SUM(delta * delta) AS VARCHAR) AS dist2_scaled
+    FROM pairs GROUP BY label_a, label_b
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Class-separation audit over the embedding table: pairwise
+    squared distances between LABEL CENTROIDS — the drift/collapse
+    monitor for a labeled embedding space (two classes whose
+    centroids converge are becoming indistinguishable to any
+    downstream classifier).
+
+    Numeric gear (the IVF discipline, `operators/ivf.py:37-49`):
+    components int3-quantized, per-label COMPONENT SUMS kept as exact
+    integers (sum ≡ mean x n — no division), and the centroid
+    difference cleared of denominators: delta_d = S_a[d]*n_b -
+    S_b[d]*n_a, so dist2_scaled = sum_d delta_d^2 equals
+    (n_a*n_b)^2 x the true squared centroid distance — an exact
+    integer accumulated in DECIMAL(38,0)/HUGEINT, emitted as a
+    digit string (no float ever exists, so the hash check is
+    trivial-portable at any cardinality).
+
+    Scale shape: the corpus-sized work is ONE posexplode +
+    (label, dim) aggregate (map-side combined to labels x dims = 640
+    cells); the pair join runs over those cells only. Centroid stats
+    are mergeable, so this audits a 100 TB embedding store
+    incrementally."""
+    from ..operators.ivf import _quantize_long
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select("label", _quantize_long(F.col("embedding")).alias("qv"))
+    counts = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    comp = q.select("label", F.posexplode("qv").alias("d0", "v"))
+    sums = comp.groupBy("label", (F.col("d0") + 1).alias("d")).agg(
+        F.sum("v").alias("s")
+    )
+    ls = sums.join(F.broadcast(counts), "label")
+    a = ls.select(
+        F.col("label").alias("label_a"),
+        F.col("d"),
+        F.col("s").alias("s_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = ls.select(
+        F.col("label").alias("label_b"),
+        F.col("d").alias("d_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(
+        b, (F.col("d") == F.col("d_b")) & (F.col("label_a") < F.col("label_b"))
+    )
+    delta = (
+        F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    ).cast("decimal(19,0)")
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(delta * delta).alias("_d2"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.col("_d2").cast("decimal(38,0)").cast("string").alias("dist2_scaled"),
+        )
+    )

@@ -862,3 +862,139 @@ def q_winsorize(spark, sf_dir):
         .cast("long")
         .alias("sum_clipped_cents"),
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY day
+    ),
+    pre AS (
+        SELECT day, v,
+               SUM(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s,
+               ROW_NUMBER() OVER (ORDER BY day) AS k,
+               SUM(v) OVER () AS s_n,
+               COUNT(*) OVER () AS n
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(ABS(s * n - s_n * k) AS BIGINT) AS cusum_stat,
+           CAST(n AS BIGINT) AS n_days
+    FROM pre WHERE k < n
+    ORDER BY ABS(s * n - s_n * k) DESC, day
+    LIMIT 1
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """Offline changepoint detection on the daily value series — the
+    CUSUM family's split-scan: the candidate changepoint is the day k
+    maximizing |mean_before - mean_after|, computed scale-free as the
+    exact integer |S_k*N - S_N*k| (both sides multiplied by k*(N-k)*N
+    — monotone, so the argmax is unchanged and NO division or float
+    ever happens). Complements the two-sample drift monitors
+    (q_ks_drift, q_chi2_drift) with WHERE-did-it-change.
+
+    Scale shape: the corpus-sized work is ONE day-keyed aggregate
+    (map-side combined); the prefix window then runs over the
+    DAY-COUNT-sized series (30 rows here, bounded by calendar — the
+    single-partition window is config-sized by construction), and the
+    argmax is a TakeOrdered over the same."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")).alias(
+                "v"
+            )
+        )
+    )
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.sum("v").over(w_ord).alias("s"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum("v").over(w_all).alias("s_n"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    stat = F.abs(F.col("s") * F.col("n") - F.col("s_n") * F.col("k"))
+    return (
+        pre.where(F.col("k") < F.col("n"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            stat.cast("long").alias("cusum_stat"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+        .orderBy(F.desc("cusum_stat"), F.asc("split_day"))
+        .limit(1)
+    )
+
+
+@query(
+    "q_seasonal_residual",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd,
+               SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    base AS (SELECT wd, SUM(v) AS s_w, COUNT(*) AS n_w FROM daily GROUP BY wd)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.wd,
+           CAST(d.v AS BIGINT) AS v_milli,
+           CAST(d.v * b.n_w - b.s_w AS BIGINT) AS resid_scaled,
+           CAST(b.n_w AS BIGINT) AS n_same_weekday
+    FROM daily d JOIN base b USING (wd)
+    ORDER BY ABS(d.v * b.n_w - b.s_w) DESC, d.day
+    LIMIT 5
+    """,
+)
+def q_seasonal_residual(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: each day's metric total
+    is compared against the mean of its OWN weekday (weekly
+    seasonality is the dominant cycle in event data — comparing
+    Saturday to the全-week mean flags every weekend as anomalous).
+    The residual is denominator-cleared into exact integers:
+    resid_scaled = v_d * n_w - S_w = n_w x (v_d - weekday mean), so
+    the top-5 ranking never touches a float. Complements
+    q_cusum_changepoint (level shift) with recurring-pattern
+    deviations.
+
+    Scale shape: one day-keyed aggregate over the corpus (map-side
+    combined), then everything runs at day/weekday cardinality; the
+    top-5 is a TakeOrdered."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.weekday(F.to_date("ts")).cast("long").alias("wd"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")).alias(
+                "v"
+            )
+        )
+    )
+    base = daily.groupBy("wd").agg(
+        F.sum("v").alias("s_w"), F.count(F.lit(1)).alias("n_w")
+    )
+    j = daily.join(F.broadcast(base), "wd")
+    resid = F.col("v") * F.col("n_w") - F.col("s_w")
+    return (
+        j.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "wd",
+            F.col("v").cast("long").alias("v_milli"),
+            resid.cast("long").alias("resid_scaled"),
+            F.col("n_w").cast("long").alias("n_same_weekday"),
+        )
+        .orderBy(F.abs(F.col("resid_scaled")).desc(), F.asc("day"))
+        .limit(5)
+    )

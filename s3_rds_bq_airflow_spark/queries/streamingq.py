@@ -203,3 +203,49 @@ def q_stream_join(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(table)
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(MAX(e.user_id) AS BIGINT) AS max_user,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join — the dimension-lookup shape of
+    every production stream (click joins user profile, reading joins
+    device registry): the event stream micro-batches against a STATIC
+    customer dimension, then aggregates per market segment. The
+    static side needs no watermark and holds no state — each
+    micro-batch plans a fresh (broadcast) hash join against it, so
+    dimension updates between batches are picked up for free, and
+    state size is bounded by the AGGREGATION keys (5 segments), not
+    the join.
+
+    Oracle: the identical batch join/rollup — unified batch/stream
+    semantics proven by value equality, per this module's contract."""
+    from ..io.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def build(stream):
+        return (
+            stream.join(F.broadcast(cust), "user_id")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("user_id").cast("long").alias("max_user"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    return _run_stream(spark, sf_dir, build, "engine_ssj")
