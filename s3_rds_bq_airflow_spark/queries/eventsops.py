@@ -444,3 +444,55 @@ def q_event_transitions(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.col("row_total")).alias("p"),
     )
+
+
+@query(
+    "q_interarrival_latency",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                         LAG(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.50) AS p50_us,
+           quantile_cont(gap_us, 0.95) AS p95_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_interarrival_latency(spark, sf_dir):
+    """Inter-arrival latency distribution per event type — the SLA /
+    engagement-cadence metric: exact integer microsecond gaps between
+    a user's consecutive events of the same type (LAG within one
+    (user,type) shuffle), then exact interpolated p50/p95 over those
+    integers (portable per the q_percentiles precedent; the
+    percentile inputs are exact BIGINTs, so interpolation operands
+    are bit-identical cross-engine).
+
+    Scale shape: one shuffle for the lag window, one event-type-keyed
+    percentile aggregate; at 100 TB the percentile gear swaps to the
+    mergeable histogram sketch (q_histogram_quantiles) with the same
+    query shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts")).alias(
+            "gap_us"
+        ),
+    )
+    return (
+        gaps.where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.expr("percentile(gap_us, 0.50)").alias("p50_us"),
+            F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
+        )
+    )

@@ -103,3 +103,74 @@ def q_cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "q_linear_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id AS conv_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+          WHERE event_type = 'click'),
+    pairs AS (
+        SELECT p.conv_id, p.user_id, c.click_id
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.cts >= p.ts - INTERVAL '24 hours' AND c.cts < p.ts
+    ),
+    n AS (SELECT conv_id, COUNT(*) AS n_t FROM pairs GROUP BY conv_id)
+    SELECT pairs.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT pairs.conv_id) AS BIGINT)
+               AS n_conversions_touched,
+           CAST(SUM(1000000 // n.n_t) AS BIGINT) AS total_credit
+    FROM pairs JOIN n USING (conv_id)
+    GROUP BY pairs.user_id
+    """,
+)
+def q_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution — each purchase's credit is
+    split equally across that user's clicks in the preceding 24 h
+    (the marketing-analytics generalization of the funnel: q_funnel
+    asks DID the path complete, attribution asks WHO gets paid).
+    Credit is the integer floor(1e6 / n_touches) per touch — integer
+    division is identical in both engines, so credit sums stay exact
+    (the truncation remainder is the documented rounding policy, not
+    float noise).
+
+    Scale shape: the touch pairing is the binned range join
+    (operators/temporal.range_join_binned — equi-join on (user,
+    24h-bucket) + residual predicate, constant fanout, never
+    nested-loop); per-conversion touch counts reuse the conv_id
+    partitioning, and the payout rollup is user-keyed. All three
+    shuffles are key-hashed and AQE-splittable."""
+    from pyspark.sql import Window
+    from ..operators.temporal import epoch_seconds, range_join_binned
+
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", "ts"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    pe = epoch_seconds(F.col("ts"))
+    pairs = range_join_binned(
+        p,
+        c,
+        on="user_id",
+        left_start=pe - 86400,
+        left_end=pe,
+        right_time=epoch_seconds(F.col("cts")),
+        bucket_seconds=86400,
+    ).select("conv_id", "user_id", "click_id")
+    w = Window.partitionBy("conv_id")
+    credited = pairs.withColumn("n_t", F.count(F.lit(1)).over(w)).withColumn(
+        "credit", F.expr("1000000 div n_t")
+    )
+    return credited.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions_touched"),
+        F.sum("credit").cast("long").alias("total_credit"),
+    )

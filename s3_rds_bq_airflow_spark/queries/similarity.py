@@ -1139,3 +1139,41 @@ def q_label_centroids(spark, sf_dir):
             F.col("_d2").cast("decimal(38,0)").cast("string").alias("dist2_scaled"),
         )
     )
+
+
+_ORACLE_RECALL = f"""
+SELECT CAST({_TOPK} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       CAST(COUNT(*) AS DOUBLE) / CAST({_TOPK} AS DOUBLE) AS recall_at_k
+FROM ({_ORACLE_TOPK}) e JOIN ({_ORACLE_ANN_LSH}) a USING (vec_id)
+"""
+
+
+@query("q_ann_recall_eval", oracle=_ORACLE_RECALL)
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation — recall@k of the LSH index against the
+    exact brute-force ranking, the metric every production vector
+    store reports before an index is trusted: both pipelines run
+    in-engine over the same corpus and the overlap of their top-10
+    id sets is the score. An index rebuild that silently degrades
+    recall (bad plane seed, stale buckets, over-aggressive probing
+    cuts) turns this row red even though the ANN query itself still
+    'works'.
+
+    Scale shape: the exact arm is the linear-scan baseline (run on a
+    sample or golden query set at 100 TB — here the full corpus), the
+    ANN arm is the bucketed index path; the overlap join is k rows.
+    The oracle composes the two existing oracles verbatim, so this
+    query is exactly as hash-portable as its parts."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+    exact = brute_force_topk(emb, qv, _TOPK, exact=True).select("vec_id")
+    ann = lsh_ann_topk(emb, qv, _TOPK, exact=True).select("vec_id")
+    overlap = exact.join(ann, "vec_id")
+    return overlap.agg(
+        F.lit(_TOPK).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (
+            F.count(F.lit(1)).cast("double") / F.lit(_TOPK).cast("double")
+        ).alias("recall_at_k"),
+    )
