@@ -228,3 +228,94 @@ def q_bm25(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+_RRF_K = 60
+_RRF_SCALE = 1000000000
+
+
+def _rrf_oracle() -> str:
+    from .registry import _ORACLES
+    from .similarity import _ORACLE_TOPK
+
+    # Reuse both arms' oracles verbatim (same convention as
+    # q_ann_recall_eval): whatever they rank, the fusion ranks.
+    bm25_sql = _ORACLES["q_bm25"]
+    return f"""
+    WITH lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM ({bm25_sql})
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine_r6 DESC, vec_id) AS r
+        FROM ({_ORACLE_TOPK})
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.r AS lex_rank, s.r AS sem_rank,
+               COALESCE({_RRF_SCALE} // ({_RRF_K} + l.r), 0)
+                 + COALESCE({_RRF_SCALE} // ({_RRF_K} + s.r), 0) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           CAST(rrf AS BIGINT) AS rrf_scaled
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+
+@query("q_rrf_fusion", oracle=_rrf_oracle())
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of lexical and semantic retrieval — the
+    standard hybrid-search combiner (Cormack et al. 2009, the RRF in
+    every vector-database hybrid mode): BM25's top-10 and the exact
+    cosine top-10 (doc_id == vec_id in this corpus) merge by
+    score(d) = sum over arms of 1/(60 + rank_d), realized as the
+    integer 1e9 // (60 + rank) so fusion scores are exact (integer
+    division is the documented rounding policy, identical in both
+    engines; ranks <= 10 make collisions impossible at this scale).
+
+    Scale shape: each arm is its own already-verified pipeline
+    (q_bm25 TakeOrdered; brute-force cosine baseline — swap the LSH
+    arm in production); the fusion itself joins two 10-row lists.
+    The oracle composes both arms' oracles verbatim, so fusion
+    correctness rides on theirs."""
+    from pyspark.sql import Window
+    from .similarity import q_cosine_topk_exact
+
+    lex = (
+        q_bm25(spark, sf_dir)
+        .select("doc_id", "score")
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    sem = (
+        q_cosine_topk_exact(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), "cosine_r6")
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine_r6"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + sem_rank)"), F.lit(0))
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            rrf.cast("long").alias("rrf_scaled"),
+        )
+        .orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
+        .limit(10)
+    )

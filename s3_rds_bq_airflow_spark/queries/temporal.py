@@ -464,3 +464,129 @@ def q_asof_nearest(spark, sf_dir):
         .cast("long")
         .alias("delta_us"),
     )
+
+
+@query(
+    "q_interpolate_linear",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v,
+               (event_id % 7 = 0) AS masked
+        FROM events WHERE value IS NOT NULL
+    ),
+    carried AS (
+        SELECT user_id, event_id, ts, v, masked,
+               LAST_VALUE(CASE WHEN NOT masked THEN v END IGNORE NULLS)
+                   OVER w_asc AS prev_v,
+               LAST_VALUE(CASE WHEN NOT masked THEN epoch_us(ts) // 1000000 END
+                          IGNORE NULLS) OVER w_asc AS prev_t,
+               LAST_VALUE(CASE WHEN NOT masked THEN v END IGNORE NULLS)
+                   OVER w_desc AS next_v,
+               LAST_VALUE(CASE WHEN NOT masked THEN epoch_us(ts) // 1000000 END
+                          IGNORE NULLS) OVER w_desc AS next_t
+        FROM base
+        WINDOW
+          w_asc AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_desc AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(v AS BIGINT) AS true_milli,
+           CASE
+             WHEN prev_v IS NULL AND next_v IS NULL THEN NULL
+             WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+             WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+             WHEN next_t = prev_t THEN CAST(prev_v AS DOUBLE)
+             ELSE CAST(prev_v * (next_t - epoch_us(ts) // 1000000)
+                       + next_v * (epoch_us(ts) // 1000000 - prev_t) AS DOUBLE)
+                  / CAST(next_t - prev_t AS BIGINT)
+           END AS interp_milli
+    FROM carried WHERE masked
+    """,
+)
+def q_interpolate_linear(spark, sf_dir):
+    """Linear interpolation of masked time-series points — the gap-
+    fill beside forward-fill (q_resample_ffill): every 7th
+    observation is masked, then reconstructed from its nearest
+    unmasked neighbors on each side, weighted by time distance. The
+    masked rows keep their true value in the output, so the row set
+    doubles as an imputation-error fixture.
+
+    Numeric gear: neighbor values are int3-quantized BIGINTs and time
+    distances exact integer SECONDS (epoch_us//1e6 == truncating
+    timestamp_diff, identical on both engines), so the interpolation numerator
+    prev*(tn-t) + next*(t-tp) stays an exact integer (< 2^53:
+    ~2.6e6 s span x 1e6 milli-units) and ONE double division ends the
+    computation — bit-identical cross-engine. Edge policy: no left
+    neighbor -> backward fill, no right -> forward fill, zero-width
+    -> left value.
+
+    Scale shape: the same single-shuffle two-window composition as
+    q_asof_nearest (asc carry for prev, desc carry for next over one
+    user_id partitioning); per-row O(1) state, no joins."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        (F.col("event_id") % 7 == 0).alias("masked"),
+    )
+    sec = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts").cast("timestamp_ntz"),
+    ).cast("long")
+    base = base.withColumn("t_s", sec)
+    unmasked_v = F.when(~F.col("masked"), F.col("v"))
+    unmasked_t = F.when(~F.col("masked"), F.col("t_s"))
+    w_asc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "v",
+        "t_s",
+        "masked",
+        F.last(unmasked_v, ignorenulls=True).over(w_asc).alias("prev_v"),
+        F.last(unmasked_t, ignorenulls=True).over(w_asc).alias("prev_t"),
+        F.last(unmasked_v, ignorenulls=True).over(w_desc).alias("next_v"),
+        F.last(unmasked_t, ignorenulls=True).over(w_desc).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("prev_v").isNull() & F.col("next_v").isNull(), F.lit(None))
+        .when(F.col("prev_v").isNull(), F.col("next_v").cast("double"))
+        .when(F.col("next_v").isNull(), F.col("prev_v").cast("double"))
+        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v").cast("double"))
+        .otherwise(
+            (
+                F.col("prev_v") * (F.col("next_t") - F.col("t_s"))
+                + F.col("next_v") * (F.col("t_s") - F.col("prev_t"))
+            ).cast("double")
+            / (F.col("next_t") - F.col("prev_t"))
+        )
+    )
+    return (
+        carried.where(F.col("masked"))
+        .select(
+            "user_id",
+            "event_id",
+            ts_str("ts").alias("ts"),
+            F.col("v").cast("long").alias("true_milli"),
+            interp.alias("interp_milli"),
+        )
+    )

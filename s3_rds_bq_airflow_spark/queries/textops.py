@@ -1753,3 +1753,72 @@ def q_topp_nucleus(spark, sf_dir):
             / F.max("total")
         ).alias("kept_coverage"),
     )
+
+
+@query(
+    "q_source_vocab_overlap",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest(string_split({NORMALIZE_SQL}, ' ')) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS vocab_a,
+           CAST(sb.n AS BIGINT) AS vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.source = i.source_a
+      JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between corpus sources — the
+    domain-similarity diagnostic behind mixture design (two sources
+    with near-identical vocabularies are redundant in a data mix;
+    near-disjoint ones cover different distributions): exact Jaccard
+    over each source's distinct token set, one row per source pair.
+
+    Scale shape: the corpus collapses to (source, token) DISTINCT
+    first (vocabulary-sized — the explode never reaches the join);
+    the pair counting is a token-keyed self-equi-join whose fanout
+    per token is #sources-containing-it (bounded by the source count,
+    not the corpus), and Jaccard is exact integers with one final
+    division. Never all-pairs over documents."""
+    vocab = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(normalized_text(), " ")).alias("token"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "token")
+    b = vocab.select(F.col("source").alias("source_b"), F.col("token").alias("tb"))
+    inter = (
+        a.join(b, (F.col("token") == F.col("tb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
