@@ -174,3 +174,70 @@ def q_linear_attribution(spark, sf_dir):
         F.countDistinct("conv_id").alias("n_conversions_touched"),
         F.sum("credit").cast("long").alias("total_credit"),
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT s.user_id,
+               date_diff('microsecond', s.s_ts, p.p_ts) AS delta_us
+        FROM s JOIN p USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(delta_us, 0.50) AS p50_us,
+           quantile_cont(delta_us, 0.90) AS p90_us,
+           CAST(MIN(delta_us) AS BIGINT) AS min_us,
+           CAST(MAX(delta_us) AS BIGINT) AS max_us
+    FROM d
+    """,
+)
+def q_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution — the funnel's velocity metric
+    (q_funnel asks WHO converts, this asks HOW FAST): per user, the
+    exact integer microseconds from first signup to first subsequent
+    purchase, summarized as p50/p90/min/max (microseconds — second-granularity
+    diffs are NOT portable: DuckDB date_diff counts boundary
+    crossings where Spark truncates the true delta). Percentile inputs are
+    exact BIGINTs, so the interpolation is bit-portable (the
+    q_percentiles precedent).
+
+    Scale shape: two user-keyed min-aggregates sharing one shuffle
+    key (AQE pipelines the reused partitioning) + a final scalar
+    rollup; at 100 TB the percentile swaps to the histogram sketch
+    while the min-aggregate stages are already mergeable."""
+    e = t(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    d = s.join(p, "user_id").select(
+        F.timestamp_diff("MICROSECOND", F.col("s_ts"), F.col("p_ts")).alias(
+            "delta_us"
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(delta_us, 0.50)").alias("p50_us"),
+        F.expr("percentile(delta_us, 0.90)").alias("p90_us"),
+        F.min("delta_us").cast("long").alias("min_us"),
+        F.max("delta_us").cast("long").alias("max_us"),
+    )

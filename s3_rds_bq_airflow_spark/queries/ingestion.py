@@ -407,3 +407,62 @@ def q_schema_evolution(spark, sf_dir):
         F.sum("o_totalprice").cast("double").alias("sum_price"),
         F.max("o_orderkey").cast("double").alias("max_key"),
     )
+
+
+@query(
+    "q_rare_category_collapse",
+    oracle="""
+    WITH counts AS (
+        SELECT props ->> '$.k' AS raw_k, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_cats FROM counts),
+    mapped AS (
+        SELECT CASE WHEN 10 * n * tot.n_cats >= 9 * tot.total THEN raw_k
+                    ELSE '__OTHER__' END AS category, n
+        FROM counts, tot
+    )
+    SELECT category,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_raw_values
+    FROM mapped
+    GROUP BY category
+    """,
+)
+def q_rare_category_collapse(spark, sf_dir):
+    """Rare-category collapsing — the cardinality-control step before
+    one-hot/embedding feature encoding (and before any groupBy whose
+    key cardinality would explode state): categories seen fewer than
+    200 times fold into '__OTHER__', each surviving category reports
+    its event mass and how many raw values it absorbed.
+
+    Scale shape: the decision runs on the CATEGORY-COUNT aggregate
+    (map-side combined; key-cardinality-sized, not corpus-sized), so
+    the collapse map is small enough to broadcast back for row-level
+    re-labeling at 100 TB — here the re-labeled rollup is derived
+    directly from the counts, proving the mapping without a second
+    corpus pass."""
+    counts = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.get_json_object("props", "$.k").alias("raw_k"),
+        )
+        .groupBy("raw_k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_cats")
+    )
+    mapped = counts.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            10 * F.col("n") * F.col("n_cats") >= 9 * F.col("total"),
+            F.col("raw_k"),
+        )
+        .otherwise("__OTHER__")
+        .alias("category"),
+        "n",
+    )
+    return mapped.groupBy("category").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_raw_values"),
+    )

@@ -1822,3 +1822,71 @@ def q_source_vocab_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split({NORMALIZE_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    st AS (SELECT source, term, COUNT(*) AS tf_s FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, SUM(tf_s) AS n_s FROM st GROUP BY source),
+    gt AS (SELECT term, SUM(tf_s) AS tf_g FROM st GROUP BY term),
+    ng AS (SELECT SUM(tf_s) AS n_g FROM st),
+    scored AS (
+        SELECT st.source, st.term, st.tf_s,
+               CAST(st.tf_s * ng.n_g AS DOUBLE) / (ns.n_s * gt.tf_g) AS lift,
+               ROW_NUMBER() OVER (
+                   PARTITION BY st.source
+                   ORDER BY CAST(st.tf_s * ng.n_g AS DOUBLE)
+                            / (ns.n_s * gt.tf_g) DESC, st.term
+               ) AS rn
+        FROM st JOIN ns USING (source) JOIN gt USING (term), ng
+        WHERE st.tf_s >= 5
+    )
+    SELECT source, term, CAST(tf_s AS BIGINT) AS tf_s, lift
+    FROM scored WHERE rn <= 3
+    """,
+)
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary — the domain-signature
+    diagnostic (which terms mark THIS source against the corpus):
+    lift = in-source rate over global rate, computed as
+    (tf_s * N_global) / (N_s * tf_global) — exact integer products,
+    ONE correctly-rounded division, so ranking and values are
+    bit-portable; top-3 per source with a count floor of 5. The
+    per-source counterpart of q_tfidf_topterms (per-document) and
+    q_source_vocab_overlap (whole-vocabulary similarity).
+
+    Scale shape: one (source, term) aggregate off the explode
+    (map-side combined), source/global rollups at vocabulary size,
+    a broadcast-joined scoring pass, and a per-source top-3 window
+    over the vocabulary — corpus-sized data appears only in the
+    first aggregate."""
+    from pyspark.sql import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(normalized_text(), " ")).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf_s"))
+    ns = st.groupBy("source").agg(F.sum("tf_s").alias("n_s"))
+    gt = st.groupBy("term").agg(F.sum("tf_s").alias("tf_g"))
+    ng = st.agg(F.sum("tf_s").alias("n_g"))
+    lift = (F.col("tf_s") * F.col("n_g")).cast("double") / (
+        F.col("n_s") * F.col("tf_g")
+    )
+    scored = (
+        st.where(F.col("tf_s") >= 5)
+        .join(F.broadcast(ns), "source")
+        .join(gt, "term")
+        .crossJoin(F.broadcast(ng))
+        .select("source", "term", "tf_s", lift.alias("lift"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("source", "term", F.col("tf_s").cast("long").alias("tf_s"), "lift")
+    )
