@@ -466,3 +466,67 @@ def q_rare_category_collapse(spark, sf_dir):
         F.sum("n").cast("long").alias("n_events"),
         F.count(F.lit(1)).alias("n_raw_values"),
     )
+
+
+@query(
+    "q_dead_letter_parse",
+    oracle="""
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN event_id % 13 = 0
+                    THEN substr(props, 1, len(props) - 1)
+                    ELSE props END AS payload
+        FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dead_letter
+    FROM raw GROUP BY event_type
+    """,
+)
+def q_dead_letter_parse(spark, sf_dir):
+    """Dead-letter accounting for malformed payloads — the ingestion
+    contract every production pipeline needs (reference S6's
+    all-TEXT staging exists precisely so bad rows land somewhere
+    recoverable): payloads are deterministically corrupted (every
+    13th row loses its closing byte), parsed permissively, and rows
+    that fail to parse are COUNTED per type rather than crashing the
+    job or silently dropping. Parse-failure detection is engine-
+    equivalent (get_json_object('$.k') -> NULL in Spark iff
+    json_valid() false in DuckDB, since every intact payload carries
+    $.k), which the hash check certifies.
+
+    Scale shape: zero-shuffle row-local parse + one small rollup; the
+    dead-letter SINK path (write failed rows aside with their error)
+    is `ingest/bronze_silver` + the multimodal dead-letter pattern —
+    this query pins the classification logic."""
+    raw = (
+        t(spark, sf_dir, "events")
+        .where(F.col("props").isNotNull())
+        .select(
+            "event_type",
+            F.when(
+                F.col("event_id") % 13 == 0,
+                F.expr("substring(props, 1, length(props) - 1)"),
+            )
+            .otherwise(F.col("props"))
+            .alias("payload"),
+        )
+    )
+    # PERMISSIVE from_json yields a NON-null struct of nulls for
+    # malformed input, so struct-null is not a failure signal; the
+    # portable detector is path extraction (null iff unparseable,
+    # given every valid payload carries $.k).
+    parsed = raw.withColumn(
+        "ok", F.get_json_object("payload", "$.k").isNotNull()
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_parsed"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_dead_letter"),
+    )

@@ -590,3 +590,73 @@ def q_interpolate_linear(spark, sf_dir):
             interp.alias("interp_milli"),
         )
     )
+
+
+@query(
+    "q_twap_per_user",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts,
+               CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v,
+               epoch_us(ts) // 1000000 AS t_s
+        FROM events WHERE value IS NOT NULL
+    ),
+    stepped AS (
+        SELECT user_id, v, t_s,
+               LEAD(t_s) OVER (PARTITION BY user_id
+                               ORDER BY ts, v) AS next_t
+        FROM base
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(CASE WHEN next_t IS NOT NULL
+                         THEN v * (next_t - t_s) END) AS DOUBLE)
+             / SUM(CASE WHEN next_t IS NOT NULL THEN next_t - t_s END)
+             AS twap_milli
+    FROM stepped
+    GROUP BY user_id
+    """,
+)
+def q_twap_per_user(spark, sf_dir):
+    """Time-weighted average (TWAP) over each user's irregular value
+    series — the finance/sensor companion to the event-weighted EWMA
+    (q_ewma_per_user): each observation holds until the next one, so
+    its weight is its HOLDING TIME, and the average is the exact
+    integral of the step function divided by the covered span.
+
+    Numeric gear: int3 values x exact integer epoch seconds
+    (epoch_us//1e6, the q_interpolate_linear convention) keep the
+    integral an exact 64-bit integer (|v| < 2^20, spans < 2^22 s,
+    ~10^3 obs -> < 2^53); ONE double division at the end. The last
+    observation has no holding interval and is excluded from the
+    integral on both engines.
+
+    Scale shape: one user_id shuffle for the LEAD window, rollup on
+    the same partitioning — the q_asof_join posture."""
+    from pyspark.sql import Window
+
+    base = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+            F.timestamp_diff(
+                "SECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col("ts").cast("timestamp_ntz"),
+            ).cast("long").alias("t_s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "v")
+    stepped = base.withColumn("next_t", F.lead("t_s").over(w))
+    dt = F.col("next_t") - F.col("t_s")
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (
+            F.sum(F.when(F.col("next_t").isNotNull(), F.col("v") * dt))
+            .cast("double")
+            / F.sum(F.when(F.col("next_t").isNotNull(), dt))
+        ).alias("twap_milli"),
+    )
