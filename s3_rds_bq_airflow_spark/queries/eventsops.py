@@ -496,3 +496,62 @@ def q_interarrival_latency(spark, sf_dir):
             F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
         )
     )
+
+
+@query(
+    "q_lateness_histogram",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, ts,
+               MAX(ts) OVER (PARTITION BY user_id
+                             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                             ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events
+    ),
+    lat AS (
+        SELECT LEAST(date_diff('microsecond', ts, high_water)
+                     // 86400000000, 30) AS late_days
+        FROM arr
+    )
+    SELECT CAST(late_days AS BIGINT) AS late_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM lat GROUP BY late_days
+    """,
+)
+def q_lateness_histogram(spark, sf_dir):
+    """Event-lateness histogram — the measurement that SIZES a
+    streaming watermark (too tight drops data, too loose bloats
+    state): per user stream, each event's lateness is the gap
+    between its event time and the high-water mark of everything
+    that ARRIVED before it, bucketed in whole DAYS and capped at
+    30+ (the table spans a month). The synthetic table is already time-ordered (bucket 0 only),
+    so arrival is REPLAYED under a deterministic md5(event_id)
+    shuffle — the adversarial-arrival schedule — and the mass above
+    bucket k is exactly what a k-day watermark would drop.
+
+    Numeric gear: exact integer microsecond gaps floor-divided to
+    days (the portable diff granularity — see q_time_to_convert);
+    the running max is a per-user window (one shuffle), never a
+    global arrival sort."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = t(spark, sf_dir, "events").select(
+        "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late_days = F.least(
+        F.floor(
+            F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("high_water"))
+            / 86400000000
+        ),
+        F.lit(30),
+    )
+    return (
+        arr.select(late_days.cast("long").alias("late_days"))
+        .groupBy("late_days")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
