@@ -1890,3 +1890,145 @@ def q_distinctive_terms(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("source", "term", F.col("tf_s").cast("long").alias("tf_s"), "lift")
     )
+
+
+_MH_SEEDS = 32
+
+
+@query(
+    "q_minhash_jaccard_est",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest(string_split({NORMALIZE_SQL}, ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT source, seed,
+               MIN(CAST('0x' || substr(md5(token || '#' || CAST(seed AS VARCHAR)),
+                                       1, 15) AS BIGINT)) AS sig
+        FROM vocab, UNNEST(range(0, {_MH_SEEDS})) AS t(seed)
+        GROUP BY source, seed
+    ),
+    est AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS n_agree
+        FROM hashed a JOIN hashed b
+          ON a.seed = b.seed AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b,
+           CAST(e.n_agree AS BIGINT) AS n_agree,
+           CAST(e.n_agree AS DOUBLE) / {_MH_SEEDS} AS jaccard_est,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+               AS jaccard_exact
+    FROM est e
+      JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+      JOIN sizes sa ON sa.source = e.source_a
+      JOIN sizes sb ON sb.source = e.source_b
+    """,
+)
+def q_minhash_jaccard_est(spark, sf_dir):
+    """MinHash Jaccard estimation CALIBRATED against the exact value
+    — the sketch-accuracy audit for the MinHash family (the dedup
+    LSH's q_dedup_minhash_lsh trusts these signatures; this query
+    measures how good they actually are, per source pair, estimate
+    and truth side by side — the same est-vs-exact discipline as
+    q_countmin_freq).
+
+    Determinism: signatures are min-of-md5 per seed (exact integers,
+    32 seeds), the estimate is agreements/32 — no randomness, no
+    floats until the two final divisions. Scale shape: signatures
+    need ONE (source, seed) min-aggregate over the vocabulary
+    (map-side combined to sources x 32 rows — THE point of MinHash:
+    pair comparison cost is signature-sized, independent of corpus);
+    the exact arm reuses the q_source_vocab_overlap join and exists
+    only to score the sketch."""
+    vocab = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(normalized_text(), " ")).alias("token"))
+        .distinct()
+    )
+    hashed = (
+        vocab.select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(_MH_SEEDS - 1))).alias("seed"),
+            "token",
+        )
+        .select(
+            "source",
+            "seed",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("token"), F.lit("#"), F.col("seed").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("source", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+    a = hashed.select(
+        F.col("source").alias("source_a"), "seed", F.col("sig").alias("sig_a")
+    )
+    b = hashed.select(
+        F.col("source").alias("source_b"),
+        F.col("seed").alias("seed_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    est = (
+        a.join(
+            b,
+            (F.col("seed") == F.col("seed_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    va = vocab.select(F.col("source").alias("source_a"), "token")
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("token").alias("tb"))
+    inter = (
+        va.join(
+            vb,
+            (F.col("token") == F.col("tb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        est.join(inter, ["source_a", "source_b"])
+        .join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_agree",
+            (F.col("n_agree").cast("double") / _MH_SEEDS).alias("jaccard_est"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard_exact"),
+        )
+    )
