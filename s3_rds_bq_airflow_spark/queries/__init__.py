@@ -32,6 +32,7 @@ from . import coverage  # noqa: E402,F401
 from . import funnelq  # noqa: E402,F401
 from . import trainprep  # noqa: E402,F401
 from . import searchops  # noqa: E402,F401
+from . import privacyq  # noqa: E402,F401
 
 # The driver verifies in iteration order and caps its batch at ~50
 # entries per round, so enumeration order is a verification-evidence

@@ -319,3 +319,154 @@ def q_rrf_fusion(spark, sf_dir):
         .orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank (Carbonell & Goldstein, SIGIR 1998)
+# ---------------------------------------------------------------------------
+_MMR_CAND = 8   # relevance-ranked candidate pool (the expensive stage's top-k)
+_MMR_K = 4      # diversified picks
+_QZ_SQL = (
+    "list_transform(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy: one (rK, sK) CTE pair per pick — MMR's
+    sequential argmax is finite (K picks), so the oracle is plain
+    SQL, no recursion."""
+    steps = []
+    sel_union = "SELECT vec_id FROM s1"
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+    r{k} AS (
+        SELECT c.vec_id, c.rel, CAST(MAX(s.sim) AS BIGINT) AS red
+        FROM cand c
+        JOIN sims s ON s.src = c.vec_id
+        JOIN ({sel_union}) t ON s.dst = t.vec_id
+        WHERE c.vec_id NOT IN ({sel_union})
+        GROUP BY c.vec_id, c.rel
+    ),
+    s{k} AS (
+        SELECT vec_id, rel, red FROM r{k}
+        ORDER BY rel - red DESC, vec_id LIMIT 1
+    )""")
+        sel_union += f" UNION ALL SELECT vec_id FROM s{k}"
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, vec_id, rel, red, rel - red AS mmr FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH qv AS (SELECT {_QZ_SQL} AS qq FROM embeddings WHERE vec_id = 0),
+    cz AS (SELECT vec_id, {_QZ_SQL} AS cv FROM embeddings WHERE vec_id <> 0),
+    relu AS (
+        SELECT c.vec_id, CAST(SUM(c.x * q.qx) AS BIGINT) AS rel
+        FROM (SELECT vec_id, unnest(cv) AS x, generate_subscripts(cv, 1) AS i
+              FROM cz) c
+        JOIN (SELECT unnest(qq) AS qx, generate_subscripts(qq, 1) AS i
+              FROM qv) q USING (i)
+        GROUP BY c.vec_id
+    ),
+    cand AS (
+        SELECT r.vec_id, r.rel, z.cv
+        FROM relu r JOIN cz z USING (vec_id)
+        ORDER BY r.rel DESC, r.vec_id LIMIT {_MMR_CAND}
+    ),
+    ce AS (SELECT vec_id, unnest(cv) AS x, generate_subscripts(cv, 1) AS i
+           FROM cand),
+    sims AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(SUM(a.x * b.x) AS BIGINT) AS sim
+        FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    s1 AS (
+        SELECT vec_id, rel, CAST(0 AS BIGINT) AS red FROM cand
+        ORDER BY rel DESC, vec_id LIMIT 1
+    ),{",".join(steps)}
+    {finals}
+    """
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick K results that balance relevance to
+    the query against redundancy with what's already picked —
+    argmax_c [ lambda*rel(c) - (1-lambda)*max_{s in S} sim(c, s) ].
+    With lambda = 1/2 the argmax is equivalent to the INTEGER key
+    rel - max_sim, so the whole greedy runs in the exact int3
+    quantized-dot domain (operators/ivf._quantize_long) — no floats,
+    bit-identical picks on both engines, vec_id tiebreak.
+
+    Scale shape: the corpus-sized work is ONE relevance top-k
+    (broadcast query vector, TakeOrdered 8) — the standard ANN/brute
+    retrieve stage; everything after operates on the K-bounded
+    candidate pool (localCheckpointed 8 rows: pairwise sims and the
+    K-step greedy are joins over config-sized data, independent of
+    corpus size). The greedy's sequential argmax is unrolled as K
+    declarative stages — no collect, no loop state on the driver."""
+    from ..operators.ivf import _quantize_long
+
+    emb = t(spark, sf_dir, "embeddings")
+    qz = (
+        emb.where(F.col("vec_id") == 0)
+        .select(_quantize_long(F.col("embedding")).alias("qq"))
+    )
+    corpus = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", _quantize_long(F.col("embedding")).alias("cv")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("cv", "qq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        corpus.join(F.broadcast(qz))
+        .select("vec_id", "cv", dot_q.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(_MMR_CAND)
+        .localCheckpoint()  # 8 rows; breaks lineage so the K greedy
+        # stages don't re-run the corpus top-k
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sim = F.aggregate(
+        F.zip_with(F.col("a.cv"), F.col("b.cv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            sim.alias("sim"),
+        )
+    )
+    s1 = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(1)
+        .select("vec_id", "rel", F.lit(0).cast("long").alias("red"))
+    )
+    picks = s1.withColumn("step", F.lit(1))
+    sel = s1.select("vec_id")
+    for k in range(2, _MMR_K + 1):
+        rem = cand.join(sel, "vec_id", "left_anti")
+        red = (
+            sims.join(sel.withColumnRenamed("vec_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.max("sim").alias("red"))
+            .withColumnRenamed("src", "vec_id")
+        )
+        sk = (
+            rem.join(red, "vec_id")
+            .orderBy((F.col("rel") - F.col("red")).desc(), F.col("vec_id"))
+            .limit(1)
+            .select("vec_id", "rel", "red")
+        )
+        picks = picks.union(sk.withColumn("step", F.lit(k)))
+        sel = sel.union(sk.select("vec_id"))
+    return picks.select(
+        "step", "vec_id", "rel", "red", (F.col("rel") - F.col("red")).alias("mmr")
+    )

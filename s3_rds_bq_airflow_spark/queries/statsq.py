@@ -998,3 +998,80 @@ def q_seasonal_residual(spark, sf_dir):
         .orderBy(F.abs(F.col("resid_scaled")).desc(), F.asc("day"))
         .limit(5)
     )
+
+
+@query(
+    "q_jackknife_ci",
+    oracle="""
+    WITH g AS (
+        SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                    || CAST(l_linenumber AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 32 AS grp,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS s_cents,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    s AS (
+        SELECT COUNT(*) AS m,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               SUM(s_cents) AS tot_cents,
+               SUM(CAST((s_cents * 10000) // n AS DECIMAL(38,0))) AS sum_gm,
+               SUM(CAST((s_cents * 10000) // n AS DECIMAL(38,0))
+                   * CAST((s_cents * 10000) // n AS DECIMAL(38,0))) AS sum_gm2
+        FROM g
+    )
+    SELECT n_rows, m,
+           CAST(tot_cents AS DOUBLE) / n_rows / 100 AS mean_price,
+           ROUND(SQRT(CAST(m * sum_gm2 - sum_gm * sum_gm AS DOUBLE)
+                      / (m * m * (m - 1))) / 1000000, 6) AS se_r6
+    FROM s
+    """,
+)
+def q_jackknife_ci(spark, sf_dir):
+    """Batch-means standard error for the mean price — uncertainty
+    quantification for data-quality dashboards without resampling:
+    rows split into 32 deterministic md5-hash batches, the spread of
+    batch means estimates the SE of the overall mean (grouped
+    jackknife / batch-means estimator, Efron & Stein 1981).
+
+    Portable numeric gear: each batch mean is quantized to exact
+    integer MICRO-cents via truncating integer division
+    ((s_cents * 10^4) DIV n — decimal sums, never float partials), so
+    the between-batch sum of squares is exact DECIMAL(38,0) on both
+    engines; doubles appear only in the final sqrt, and se rounds at
+    6 decimals to absorb the last-ulp skew of the decimal->double
+    conversion. One hash aggregation over the fact table, a 32-row
+    fold after — scale-flat."""
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))
+    grp = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 32)
+    g = li.groupBy(grp.alias("grp")).agg(
+        (F.sum(dec("l_extendedprice") * 100)).cast("long").alias("s_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gm = F.expr("CAST((s_cents * 10000) DIV n AS DECIMAL(38,0))")
+    s = g.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("n_rows"),
+        F.sum("s_cents").alias("tot_cents"),
+        F.sum(gm).alias("sum_gm"),
+        F.sum(gm * gm).alias("sum_gm2"),
+    )
+    return s.select(
+        "n_rows",
+        "m",
+        (F.col("tot_cents").cast("double") / F.col("n_rows") / 100).alias(
+            "mean_price"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("m") * F.col("sum_gm2") - F.col("sum_gm") * F.col("sum_gm"))
+                .cast("double")
+                / (F.col("m") * F.col("m") * (F.col("m") - 1))
+            )
+            / 1000000,
+            6,
+        ).alias("se_r6"),
+    )

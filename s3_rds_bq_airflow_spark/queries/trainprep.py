@@ -1248,3 +1248,86 @@ def q_paragraph_dedup(spark, sf_dir):
         .alias("n_removed"),
         F.coalesce("kept_fp", F.lit("")).alias("kept_fp"),
     )
+
+
+def _dsir_oracle() -> str:
+    from .textops import NORMALIZE_SQL
+
+    return f"""
+    WITH docs AS (SELECT doc_id, lang, {NORMALIZE_SQL} AS norm FROM documents),
+    toks AS (
+        SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+               unnest(list_distinct(string_split(norm, ' '))) AS w
+        FROM docs
+    ),
+    stats AS (
+        SELECT w, CAST(SUM(is_t) AS BIGINT) AS t_c,
+               CAST(SUM(1 - is_t) AS BIGINT) AS s_c
+        FROM toks GROUP BY w
+    ),
+    wts AS (
+        SELECT w, CAST(length(format('{{:b}}', t_c + 1))
+                       - length(format('{{:b}}', s_c + 1)) AS BIGINT) AS wt
+        FROM stats
+    ),
+    sc AS (
+        SELECT t.doc_id, CAST(SUM(x.wt) AS BIGINT) AS score, COUNT(*) AS n_feat
+        FROM toks t JOIN wts x USING (w)
+        WHERE t.is_t = 0
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, n_feat FROM sc ORDER BY score DESC, doc_id LIMIT 50
+    """
+
+
+@query("q_dsir_select", oracle=_dsir_oracle())
+def q_dsir_select(spark, sf_dir):
+    """Data selection via importance reweighting (DSIR, Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): score out-of-target documents by
+    how target-like their feature distribution is, keep the top-N.
+    Target corpus = lang='en' docs, candidates = the rest; features =
+    the document's DISTINCT tokens; per-token importance weight =
+    log-ratio of (target doc-frequency + 1) / (other doc-frequency
+    + 1).
+
+    Portable numeric gear: the log-ratio runs in the INTEGER BIT-
+    LENGTH domain — log2 floor(x) == length(bin(x)) - 1, so
+    wt = bitlen(t_c+1) - bitlen(s_c+1) is an exact integer both
+    engines compute from the same counts (Spark length(bin(n)),
+    DuckDB length(format('{{:b}}', n))); no floats anywhere, the
+    whole selection is a total order over exact integer sums with a
+    doc_id tiebreak.
+
+    Scale: explode -> (token) partial-agg shuffle for the weight
+    table (vocabulary-sized, broadcastable), one equi-join back, one
+    doc_id-keyed sum, TakeOrdered(50) — the same shape as the proven
+    TF-IDF plan; no all-pairs, nothing driver-side."""
+    from .textops import normalized_text
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", normalized_text().alias("norm")
+    )
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_t"),
+        F.explode(F.array_distinct(F.split("norm", " "))).alias("w"),
+    )
+    stats = toks.groupBy("w").agg(
+        F.sum("is_t").alias("t_c"),
+        F.sum(F.lit(1) - F.col("is_t")).alias("s_c"),
+    )
+    wts = stats.select(
+        "w",
+        (
+            F.length(F.bin(F.col("t_c") + 1)) - F.length(F.bin(F.col("s_c") + 1))
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+    sc = (
+        toks.where(F.col("is_t") == 0)
+        .join(wts, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("score"), F.count(F.lit(1)).alias("n_feat"))
+    )
+    return sc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(50)
