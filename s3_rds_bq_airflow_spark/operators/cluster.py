@@ -332,3 +332,47 @@ def bfs_khop(
     # the anti-join guarantees one row per node, already minimal; the
     # aggregate states the BFS invariant rather than trusting it
     return visited.groupBy("id").agg(F.min("dist").cast("long").alias("dist"))
+
+
+def bfs_khop_labeled(
+    sources: DataFrame,
+    edges: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    src_label: str = "src_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-source BFS distances, bounded at ``k`` hops: (src_id, id,
+    dist) for every (source, node) pair with dist = minimum hop count
+    FROM THAT SOURCE — the labeled generalization of ``bfs_khop``
+    (which merges the source set into one min-dist field). This is
+    the primitive under per-source centralities (harmonic/closeness)
+    and landmark-distance sketches.
+
+    Scale: identical shape to ``bfs_khop`` per source — the frontier
+    carries the source label and the visited anti-join keys on
+    (src_id, id), so the work is O(sum of per-source frontier sizes)
+    per hop with the same single equi-join against the edge list; all
+    sources advance in ONE join per hop, not one pass per source."""
+    visited = sources.select(
+        F.col(src_label).alias("src_id"),
+        F.col(id_col).alias("id"),
+        F.lit(0).alias("dist"),
+    )
+    frontier = visited
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges[src_col])
+            .select(
+                F.col("src_id"), F.col(dst_col).alias("id"), F.lit(hop).alias("dist")
+            )
+            .distinct()
+            .join(visited.select("src_id", "id"), ["src_id", "id"], "left_anti")
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("src_id", "id").agg(
+        F.min("dist").cast("long").alias("dist")
+    )

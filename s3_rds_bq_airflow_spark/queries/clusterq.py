@@ -488,3 +488,65 @@ def q_bfs_khop(spark, sf_dir):
     )
     sources = nodes.where(F.col("id") < 5)
     return bfs_khop(sources, edges, _BFS_K)
+
+
+_HC_STRIDES = (7, 13)
+_HC_K = 4
+_HC_SOURCES = 3
+
+
+@query(
+    "q_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE walk(src, id, dist) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < {_HC_SOURCES}
+        UNION
+        SELECT w.src, w.id + s.d, w.dist + 1
+        FROM walk w,
+             (VALUES ({_HC_STRIDES[0]}), ({_HC_STRIDES[1]})) s(d)
+        WHERE w.dist < {_HC_K}
+          AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = w.id + s.d)
+    ),
+    md AS (SELECT src, id, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+    SELECT src AS src_id,
+           CAST(SUM(12 // dist) AS BIGINT) AS harmonic_x12,
+           COUNT(*) AS n_reached
+    FROM md WHERE dist > 0
+    GROUP BY src
+    """,
+)
+def q_harmonic_centrality(spark, sf_dir):
+    """Bounded harmonic centrality (Boldi & Vigna, "Axioms for
+    Centrality", 2014): per source, sum of 1/d over nodes within K=4
+    hops — the centrality that handles disconnected graphs (a node
+    never reached contributes 0, no infinite closeness). Built on the
+    LABELED multi-source BFS (`operators/cluster.bfs_khop_labeled`):
+    all sources advance in one frontier join per hop, distances keyed
+    (source, node).
+
+    Exact integer gear: 1/d sums are rationals — scale by
+    lcm(1..4) = 12, so each reached node contributes the exact
+    integer 12/d (12, 6, 4, 3) and the centrality is an integer sum,
+    bit-identical everywhere; the oracle replays the walk as a
+    recursive CTE."""
+    from ..operators.cluster import bfs_khop_labeled
+
+    nodes = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    strides = F.array(*[F.lit(s) for s in _HC_STRIDES])
+    edges = (
+        nodes.select("id", F.explode(strides).alias("d"))
+        .select(F.col("id").alias("src"), (F.col("id") + F.col("d")).alias("dst"))
+        .join(nodes.withColumnRenamed("id", "dst"), "dst")
+    )
+    sources = nodes.where(F.col("id") < _HC_SOURCES).select(
+        F.col("id").alias("src_id"), "id"
+    )
+    d = bfs_khop_labeled(sources, edges, _HC_K)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("src_id")
+        .agg(
+            F.sum(F.expr("12 DIV dist")).alias("harmonic_x12"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+    )

@@ -470,3 +470,229 @@ def q_mmr_rerank(spark, sf_dir):
     return picks.select(
         "step", "vec_id", "rel", "red", (F.col("rel") - F.col("red")).alias("mmr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio) + token-budget context assembly
+# ---------------------------------------------------------------------------
+_PRF_SEED = ("spark", "join", "window")
+_PRF_FB_DOCS = 3    # feedback depth
+_PRF_EXP_TERMS = 2  # expansion terms adopted
+_PRF_TOPK = 10
+_CTX_BUDGET = 512   # context token budget per query
+
+
+def _prf_oracle() -> str:
+    seed_list = ", ".join(f"'{s}'" for s in _PRF_SEED)
+    bl = "length(format('{:b}', %s))"
+    wt = f"({bl % 'st.n_docs + 1'} - {bl % 'tw.df + 1'})"
+    return f"""
+    WITH docs AS (SELECT doc_id, {NORMALIZE_SQL} AS norm FROM documents),
+    toks AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM docs)
+        GROUP BY doc_id, w
+    ),
+    dfs AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w),
+    st AS (SELECT COUNT(*) AS n_docs FROM docs),
+    tw AS (SELECT t.doc_id, t.w, t.tf, d.df FROM toks t JOIN dfs d USING (w)),
+    s1 AS (
+        SELECT tw.doc_id, CAST(SUM(tw.tf * {wt}) AS BIGINT) AS score1
+        FROM tw, st WHERE tw.w IN ({seed_list})
+        GROUP BY tw.doc_id
+    ),
+    top3 AS (SELECT doc_id FROM s1 ORDER BY score1 DESC, doc_id
+             LIMIT {_PRF_FB_DOCS}),
+    exp AS (
+        SELECT t.w
+        FROM toks t JOIN top3 USING (doc_id) JOIN dfs d ON t.w = d.w
+        WHERE t.w NOT IN ({seed_list}) AND d.df >= 2
+        GROUP BY t.w
+        ORDER BY SUM(t.tf) DESC, t.w
+        LIMIT {_PRF_EXP_TERMS}
+    ),
+    terms AS (SELECT unnest([{seed_list}]) AS w UNION ALL SELECT w FROM exp),
+    s2 AS (
+        SELECT tw.doc_id, CAST(SUM(tw.tf * {wt}) AS BIGINT) AS score,
+               COUNT(*) AS n_matched
+        FROM tw JOIN terms USING (w), st
+        GROUP BY tw.doc_id
+    )
+    SELECT doc_id, score, n_matched FROM s2
+    ORDER BY score DESC, doc_id LIMIT {_PRF_TOPK}
+    """
+
+
+@query("q_rocchio_prf", oracle=_prf_oracle())
+def q_rocchio_prf(spark, sf_dir):
+    """Pseudo-relevance feedback (Rocchio 1971, the query-expansion
+    arm of classical IR): retrieve with the seed terms, mine the top
+    feedback docs for their strongest non-seed terms (grounded by
+    df >= 2), expand the query, retrieve again. Both retrieval passes
+    share ONE (doc, term, tf, df) statistics table — the expansion
+    adds a 5-row broadcast term list and a re-aggregation, not a
+    second corpus scan pipeline.
+
+    Integer-idf gear: term weight = bitlen(N+1) - bitlen(df+1)
+    (floor-log2 idf), scores are exact integer sums, every ranking
+    carries a doc_id/term tiebreak — bit-identical on both engines,
+    no floats anywhere (the BM25 float arm stays q_bm25's domain).
+
+    Scale: token stats are the inverted-index aggregates (explode ->
+    (doc,term) -> (term) partials); seed/expanded term lists are
+    config-sized broadcasts; feedback depth and expansion width are
+    constants — the second pass is the same plan as the first."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text().alias("norm")
+    )
+    toks = (
+        docs.select("doc_id", F.explode(F.split("norm", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    st = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tw = toks.join(dfs, "w")
+
+    def bl(col):
+        return F.length(F.bin(col))
+
+    wt = bl(F.col("n_docs") + 1) - bl(F.col("df") + 1)
+    seed = list(_PRF_SEED)
+    s1 = (
+        tw.where(F.col("w").isin(seed))
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * wt).cast("long").alias("score1"))
+    )
+    top3 = (
+        s1.orderBy(F.col("score1").desc(), F.col("doc_id"))
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    exp = (
+        toks.join(top3, "doc_id")
+        .where(~F.col("w").isin(seed))
+        .join(dfs, "w")
+        .where(F.col("df") >= 2)
+        .groupBy("w")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .orderBy(F.col("fb_tf").desc(), F.col("w"))
+        .limit(_PRF_EXP_TERMS)
+        .select("w")
+    )
+    terms = spark.createDataFrame([(s,) for s in seed], ["w"]).union(exp)
+    s2 = (
+        tw.join(F.broadcast(terms), "w")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * wt).cast("long").alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    return s2.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_PRF_TOPK)
+
+
+def _ctx_oracle() -> str:
+    seed_list = ", ".join(f"'{s}'" for s in _PRF_SEED)
+    bl = "length(format('{:b}', %s))"
+    wt = f"({bl % 'st.n_docs + 1'} - {bl % 'd.df + 1'})"
+    return f"""
+    WITH docs AS (SELECT doc_id, {NORMALIZE_SQL} AS norm FROM documents),
+    toks AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM docs)
+        GROUP BY doc_id, w
+    ),
+    dfs AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w),
+    st AS (SELECT COUNT(*) AS n_docs FROM docs),
+    dl AS (SELECT doc_id, len(string_split(norm, ' ')) AS n_tok FROM docs),
+    scored AS (
+        SELECT t.w AS query_term, t.doc_id,
+               CAST(t.tf * {wt} AS BIGINT) AS rel, l.n_tok
+        FROM toks t JOIN dfs d USING (w) JOIN dl l USING (doc_id), st
+        WHERE t.w IN ({seed_list})
+    ),
+    ranked AS (
+        SELECT query_term, doc_id, rel, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY query_term
+                                  ORDER BY rel DESC, doc_id) AS rank,
+               SUM(n_tok) OVER (PARTITION BY query_term
+                                ORDER BY rel DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    )
+    SELECT query_term, rank, doc_id, rel, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= {_CTX_BUDGET}
+    """
+
+
+@query("q_context_assembly", oracle=_ctx_oracle())
+def q_context_assembly(spark, sf_dir):
+    """RAG context assembly under a token budget: per query, walk the
+    relevance ranking and keep documents while the running token
+    count fits the context window (budget {budget}) — the retrieval-
+    to-prompt packing step every RAG serving stack runs. Relevance is
+    the integer tf x bitlen-idf gear (shared with q_rocchio_prf);
+    rank and running token total come from the SAME window
+    (partitioned by query term), so ranking + packing is ONE shuffle
+    keyed by query — queries pack in parallel, corpus size only
+    enters through the inverted-index aggregates.
+
+    Emits the packed manifest (query, rank, doc, tokens, running
+    total) — deterministic: integer scores, doc_id tiebreak,
+    budget cut on the exact integer running sum."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text().alias("norm")
+    )
+    toks = (
+        docs.select("doc_id", F.explode(F.split("norm", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    st = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dl = docs.select("doc_id", F.size(F.split("norm", " ")).alias("n_tok"))
+
+    def bl(col):
+        return F.length(F.bin(col))
+
+    wt = bl(F.col("n_docs") + 1) - bl(F.col("df") + 1)
+    scored = (
+        toks.where(F.col("w").isin(list(_PRF_SEED)))
+        .join(dfs, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.col("w").alias("query_term"),
+            "doc_id",
+            (F.col("tf") * wt).cast("long").alias("rel"),
+            "n_tok",
+        )
+    )
+    win = W.partitionBy("query_term").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "query_term",
+        "doc_id",
+        "rel",
+        "n_tok",
+        F.row_number().over(win).alias("rank"),
+        F.sum("n_tok").over(win.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "cum_tokens"
+        ),
+    )
+    return ranked.where(F.col("cum_tokens") <= _CTX_BUDGET).select(
+        "query_term",
+        "rank",
+        "doc_id",
+        "rel",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+q_context_assembly.__doc__ = q_context_assembly.__doc__.format(budget=_CTX_BUDGET)

@@ -1075,3 +1075,76 @@ def q_jackknife_ci(spark, sf_dir):
             6,
         ).alias("se_r6"),
     )
+
+
+@query(
+    "q_calibration_bins",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               LENGTH(text) AS n,
+               GREATEST(LENGTH(text), 1) AS nd,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+               LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST((1000 * (n_alpha - n_punct - n_digit) + 2000 * nd) // nd
+                    AS BIGINT) // 100 AS bin,
+               CAST(n_tokens >= 10 AND n >= 3 * n_tokens AND n <= 10 * n_tokens
+                    AS INT) AS pass
+        FROM m
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS pass_rate
+    FROM s GROUP BY bin
+    """,
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram for the cheap quality score: bin documents
+    by the integer per-mille composite score (the q_text_quality
+    formula, shifted non-negative and computed with truncating
+    integer division so bin edges are bit-identical — no float
+    ratios), and within each bin measure how often the stricter
+    structural gate (>=10 tokens, mean token length in [3,10] via the
+    integer cross-multiplication 3*n_tokens <= n <= 10*n_tokens)
+    actually passes. A well-calibrated cheap score has pass_rate
+    monotone in bin — this is the audit that justifies using the
+    cheap score as a pre-filter for the expensive gate at 100 TB.
+
+    One zero-join aggregation: per-row codegen expressions then a
+    ~30-key groupBy; the only double is the final pass_rate
+    division."""
+    text = F.col("text")
+    n = F.length(text)
+    nd = F.greatest(n, F.lit(1))
+
+    def n_class(pattern: str):
+        return n - F.length(F.regexp_replace(text, pattern, ""))
+
+    n_alpha = n_class("[a-zA-Z]")
+    n_digit = n_class("[0-9]")
+    n_punct = n_class("[.,;:!?]")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    s = t(spark, sf_dir, "documents").select(
+        (n_alpha - n_punct - n_digit).alias("_num"),
+        nd.alias("_nd"),
+        ((n_tokens >= 10) & (n >= 3 * n_tokens) & (n <= 10 * n_tokens))
+        .cast("int")
+        .alias("pass"),
+    ).select(
+        F.expr(
+            "CAST((1000 * _num + 2000 * _nd) DIV _nd AS BIGINT) DIV 100"
+        ).alias("bin"),
+        "pass",
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass").cast("long").alias("n_pass"),
+        (F.sum("pass").cast("double") / F.count(F.lit(1))).alias("pass_rate"),
+    )

@@ -2032,3 +2032,157 @@ def q_minhash_jaccard_est(spark, sf_dir):
             ).alias("jaccard_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (train/eval in one DAG)
+# ---------------------------------------------------------------------------
+_NB_LANGS = ("en", "fr", "es", "de", "zh")
+
+
+def _nb_oracle() -> str:
+    ls = _NB_LANGS
+    bl = "length(format('{:b}', %s))"  # integer bit-length = floor(log2)+1
+    cw_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{l}"
+        for l in ls
+    )
+    stat_cols = ",\n               ".join(
+        [f"(SELECT COUNT(*) FROM cw) AS v"]
+        + [f"(SELECT COUNT(*) FROM ttoks WHERE lang = '{l}') AS n_{l}" for l in ls]
+        + [f"(SELECT COUNT(*) FROM train WHERE lang = '{l}') AS d_{l}" for l in ls]
+    )
+    j_cols = ", ".join(f"COALESCE(c.c_{l}, 0) AS c_{l}" for l in ls)
+    s_cols = ",\n               ".join(
+        f"CAST(SUM({bl % f'c_{l} + 1'}) AS BIGINT) AS s_{l}" for l in ls
+    )
+    sc_cols = ",\n               ".join(
+        f"s.s_{l} - s.n_tok * {bl % f'st.n_{l} + st.v'}"
+        f" + {bl % f'st.d_{l} + 1'} AS sc_{l}"
+        for l in ls
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, lang, {NORMALIZE_SQL} AS norm FROM documents),
+    train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+    test  AS (SELECT * FROM docs WHERE doc_id % 2 <> 0),
+    ttoks AS (SELECT lang, unnest(string_split(norm, ' ')) AS w FROM train),
+    cw AS (SELECT w,
+               {cw_cols}
+           FROM ttoks GROUP BY w),
+    stats AS (SELECT
+               {stat_cols}),
+    tt AS (SELECT doc_id, lang, len(string_split(norm, ' ')) AS n_tok,
+                  unnest(string_split(norm, ' ')) AS w
+           FROM test),
+    j AS (SELECT t.doc_id, t.lang, t.n_tok, {j_cols}
+          FROM tt t LEFT JOIN cw c USING (w)),
+    sc AS (SELECT doc_id, lang, n_tok,
+               {s_cols}
+           FROM j GROUP BY 1, 2, 3),
+    fin AS (SELECT s.doc_id, s.lang,
+               {sc_cols}
+            FROM sc s, stats st),
+    pred AS (SELECT doc_id, lang,
+                CASE WHEN sc_en >= sc_fr AND sc_en >= sc_es
+                          AND sc_en >= sc_de AND sc_en >= sc_zh THEN 'en'
+                     WHEN sc_fr >= sc_es AND sc_fr >= sc_de
+                          AND sc_fr >= sc_zh THEN 'fr'
+                     WHEN sc_es >= sc_de AND sc_es >= sc_zh THEN 'es'
+                     WHEN sc_de >= sc_zh THEN 'de'
+                     ELSE 'zh' END AS predicted
+             FROM fin)
+    SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    """
+
+
+@query("q_naive_bayes_langid", oracle=_nb_oracle())
+def q_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, TRAINED AND
+    EVALUATED in one DAG: token counts per class learned on the even
+    doc_ids, the odd half scored and argmax-classified, confusion
+    matrix out. (Labels in the synthetic corpus are random — the
+    graded artifact is exact train+predict parity, same caveat as
+    q_lang_id's heuristic.)
+
+    Integer log-domain gear: every log2 in NB's score
+    sum log P(w|c) = sum [log(c_wc + 1) - log(n_c + V)] runs as the
+    exact integer BIT LENGTH (floor(log2 n) + 1 — Spark length(bin),
+    DuckDB length(format('{:b}'))), so scores are exact integer sums
+    and the argmax (fixed tie-break order en>fr>es>de>zh) is
+    bit-identical on both engines — no floats in the whole model.
+
+    Scale: the model is the (token x class) count table — one
+    explode-aggregate shuffle, vocabulary-sized, broadcastable; class
+    scalars ride a 1-row crossJoin; scoring is one LEFT equi-join of
+    test tokens against the model plus a doc-keyed sum. Train and
+    inference are the same plan family as TF-IDF — nothing iterative,
+    nothing driver-side."""
+    langs = _NB_LANGS
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", normalized_text().alias("norm")
+    )
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 != 0)
+    ttoks = train.select("lang", F.explode(F.split("norm", " ")).alias("w"))
+    cw = ttoks.groupBy("w").agg(
+        *[
+            F.sum((F.col("lang") == l).cast("long")).alias(f"c_{l}")
+            for l in langs
+        ]
+    )
+    tok_stats = ttoks.agg(
+        *[F.sum((F.col("lang") == l).cast("long")).alias(f"n_{l}") for l in langs]
+    )
+    doc_stats = train.agg(
+        *[F.sum((F.col("lang") == l).cast("long")).alias(f"d_{l}") for l in langs]
+    )
+    v = cw.agg(F.count(F.lit(1)).alias("v"))
+    stats = tok_stats.crossJoin(doc_stats).crossJoin(v)
+
+    def bl(col):
+        return F.length(F.bin(col))
+
+    tt = test.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("norm", " ")).alias("n_tok"),
+        F.explode(F.split("norm", " ")).alias("w"),
+    )
+    j = tt.join(cw, "w", "left")
+    sc = j.groupBy("doc_id", "lang", "n_tok").agg(
+        *[
+            F.sum(bl(F.coalesce(F.col(f"c_{l}"), F.lit(0)) + 1)).alias(f"s_{l}")
+            for l in langs
+        ]
+    )
+    fin = sc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "lang",
+        *[
+            (
+                F.col(f"s_{l}")
+                - F.col("n_tok") * bl(F.col(f"n_{l}") + F.col("v"))
+                + bl(F.col(f"d_{l}") + 1)
+            )
+            .cast("long")
+            .alias(f"sc_{l}")
+            for l in langs
+        ],
+    )
+    s = {l: F.col(f"sc_{l}") for l in langs}
+    predicted = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return (
+        fin.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
