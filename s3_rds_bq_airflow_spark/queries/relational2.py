@@ -996,3 +996,250 @@ def q_recursive_cte(spark, sf_dir):
 
     register_views(spark, sf_dir, "nation")
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "q_skyline_parts",
+    oracle="""
+    WITH pairs AS (
+        SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               p_size, COUNT(*) AS n_at_pair
+        FROM part GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT price_cents, MIN(p_size) AS min_size,
+               CAST(SUM(CASE WHEN p_size = sz THEN n_at_pair ELSE 0 END)
+                    AS BIGINT) AS n_parts
+        FROM (SELECT p.*, MIN(p_size) OVER (PARTITION BY price_cents) AS sz
+              FROM pairs p)
+        GROUP BY price_cents
+    ),
+    runmin AS (
+        SELECT price_cents, min_size, n_parts,
+               MIN(min_size) OVER (ORDER BY price_cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_min
+        FROM best
+    )
+    SELECT price_cents, CAST(min_size AS BIGINT) AS min_size, n_parts
+    FROM runmin
+    WHERE prev_min IS NULL OR min_size < prev_min
+    """,
+)
+def q_skyline_parts(spark, sf_dir):
+    """2-D skyline (Pareto frontier; Borzsony/Kossmann/Stocker, ICDE
+    2001): the parts not dominated on (minimize price, minimize
+    size). The naive dominance test is an all-pairs self-join — the
+    scale formulation is algebraic instead: collapse to one row per
+    price (with its min size and the count of parts AT that optimal
+    pair), then a price-ordered RUNNING MIN; a point is on the
+    frontier iff its min size strictly beats every cheaper point's.
+    The only ordered pass runs over the price-DISTINCT aggregate (the
+    dimension's value domain, not the fact rows). Price keys are
+    exact integer cents; everything is integer."""
+    from pyspark.sql import Window as W
+
+    pairs = (
+        t(spark, sf_dir, "part")
+        .groupBy(
+            (dec("p_retailprice") * 100).cast("long").alias("price_cents"),
+            "p_size",
+        )
+        .agg(F.count(F.lit(1)).alias("n_at_pair"))
+    )
+    wp = W.partitionBy("price_cents")
+    best = (
+        pairs.withColumn("sz", F.min("p_size").over(wp))
+        .groupBy("price_cents")
+        .agg(
+            F.min("p_size").alias("min_size"),
+            F.sum(
+                F.when(F.col("p_size") == F.col("sz"), F.col("n_at_pair")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_parts"),
+        )
+    )
+    wr = W.orderBy("price_cents").rowsBetween(W.unboundedPreceding, -1)
+    runmin = best.withColumn("prev_min", F.min("min_size").over(wr))
+    return runmin.where(
+        F.col("prev_min").isNull() | (F.col("min_size") < F.col("prev_min"))
+    ).select("price_cents", F.col("min_size").cast("long").alias("min_size"), "n_parts")
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH now_ts AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS now_d FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT now_d FROM now_ts)) AS r_days,
+               COUNT(*) AS f_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS m_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_cust,
+               CAST(SUM(r_days) AS BIGINT) AS sum_r,
+               CAST(SUM(f_orders) AS BIGINT) AS sum_f,
+               CAST(SUM(m_cents) AS DECIMAL(38,0)) AS sum_m
+        FROM cust
+    ),
+    seg AS (
+        SELECT CAST(c.r_days * t.n_cust < t.sum_r AS INT) AS recent,
+               CAST(c.f_orders * t.n_cust >= t.sum_f AS INT) AS frequent,
+               CAST(CAST(c.m_cents AS DECIMAL(38,0)) * t.n_cust >= t.sum_m
+                    AS INT) AS high_value,
+               c.m_cents
+        FROM cust c, tot t
+    )
+    SELECT recent, frequent, high_value,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(m_cents AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 100 AS avg_spend
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-value decomposition): each customer flagged above/below
+    the MEAN on all three axes, 8 segments out with size and average
+    spend. Every split is an exact integer cross-multiplication
+    (x * n_cust vs sum_x) — the mean is never materialized as a
+    float, so segment membership is bit-identical at any scale; the
+    only double is the final avg_spend display division.
+
+    Scale: one customer-keyed aggregation of the fact table, a 1-row
+    totals broadcast, an 8-key regroup. Recency anchor = max order
+    date (data-derived, no wall clock — deterministic replays)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    now_d = o.agg(F.max("d").alias("now_d"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("f_orders"),
+            F.sum("cents").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(now_d))
+        .select(
+            F.datediff("now_d", "last_d").alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("r_days").cast("long").alias("sum_r"),
+        F.sum("f_orders").cast("long").alias("sum_f"),
+        F.sum(F.col("m_cents").cast("decimal(38,0)")).alias("sum_m"),
+    )
+    seg = cust.crossJoin(F.broadcast(tot)).select(
+        (F.col("r_days") * F.col("n_cust") < F.col("sum_r"))
+        .cast("int")
+        .alias("recent"),
+        (F.col("f_orders") * F.col("n_cust") >= F.col("sum_f"))
+        .cast("int")
+        .alias("frequent"),
+        (
+            F.col("m_cents").cast("decimal(38,0)") * F.col("n_cust")
+            >= F.col("sum_m")
+        )
+        .cast("int")
+        .alias("high_value"),
+        "m_cents",
+    )
+    return seg.groupBy("recent", "frequent", "high_value").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.col("m_cents").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 100
+        ).alias("avg_spend"),
+    )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(CAST(rev_cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS total FROM pr),
+    ranked AS (
+        SELECT l_partkey, rev_cents,
+               CAST(SUM(CAST(rev_cents AS DECIMAL(38,0)))
+                    OVER (ORDER BY rev_cents DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum
+        FROM pr
+    ),
+    cls AS (
+        SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                    WHEN cum * 20 <= total * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev_cents
+        FROM ranked, tot
+    )
+    SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(rev_cents AS DECIMAL(38,0))) AS DOUBLE) / 100
+               AS class_revenue
+    FROM cls GROUP BY abc_class
+    """,
+)
+def q_abc_analysis(spark, sf_dir):
+    """ABC / Pareto 80-95 analysis: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B to 95%, C the
+    tail — the inventory-prioritization classic. Class boundaries are
+    exact integer cross-multiplications on the DECIMAL(38,0)
+    cumulative (cum*5 <= total*4), never a float percentage, so the
+    A/B cut cannot drift between engines.
+
+    Scale: the fact table collapses to per-part revenue FIRST (one
+    shuffle); the ordered cumulative then runs over the part
+    DIMENSION (orders of magnitude smaller than the fact rows). At
+    100 TB the dimension-wide window would switch to the range-bucket
+    gear proven by operators/curriculum (percentile boundaries +
+    within-bucket ranking) — same discipline, noted not needed at
+    dimension cardinality."""
+    from pyspark.sql import Window as W
+
+    pr = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg((F.sum(dec("l_extendedprice") * 100)).cast("long").alias("rev_cents"))
+    )
+    tot = pr.agg(
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("total")
+    )
+    w = W.orderBy(F.col("rev_cents").desc(), F.col("l_partkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = pr.withColumn(
+        "cum", F.sum(F.col("rev_cents").cast("decimal(38,0)")).over(w)
+    )
+    cls = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_cents",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(F.col("rev_cents").cast("decimal(38,0)")).cast("double") / 100).alias(
+            "class_revenue"
+        ),
+    )
