@@ -696,3 +696,120 @@ def q_context_assembly(spark, sf_dir):
 
 
 q_context_assembly.__doc__ = q_context_assembly.__doc__.format(budget=_CTX_BUDGET)
+
+
+def _bitmap_oracle() -> str:
+    terms = ", ".join(f"'{s}'" for s in _PRF_SEED)
+    t0, t1 = _PRF_SEED[0], _PRF_SEED[1]
+    return f"""
+    WITH post AS (
+        SELECT DISTINCT w AS term, doc_id
+        FROM (SELECT doc_id, unnest(string_split({NORMALIZE_SQL}, ' ')) AS w
+              FROM documents)
+        WHERE w IN ({terms})
+    ),
+    bm AS (
+        SELECT term, doc_id // 32 AS word,
+               CAST(SUM(DISTINCT CAST(POWER(2.0, doc_id % 32) AS BIGINT))
+                    AS BIGINT) AS bitmap
+        FROM post GROUP BY 1, 2
+    ),
+    per_term AS (
+        SELECT 'term' AS kind, term AS key,
+               COUNT(*) AS n_words,
+               CAST(SUM(bit_count(bitmap)) AS BIGINT) AS n_docs
+        FROM bm GROUP BY term
+    ),
+    pair AS (
+        SELECT 'pair' AS kind, '{t0}&{t1}' AS key,
+               COUNT(*) AS n_words,
+               CAST(SUM(bit_count(a.bitmap & b.bitmap)) AS BIGINT) AS n_docs
+        FROM bm a JOIN bm b ON a.word = b.word
+        WHERE a.term = '{t0}' AND b.term = '{t1}'
+    ),
+    direct AS (
+        SELECT 'pair_direct' AS kind, '{t0}&{t1}' AS key,
+               CAST(0 AS BIGINT) AS n_words,
+               COUNT(*) AS n_docs
+        FROM post a JOIN post b USING (doc_id)
+        WHERE a.term = '{t0}' AND b.term = '{t1}'
+    )
+    SELECT * FROM per_term
+    UNION ALL SELECT * FROM pair
+    UNION ALL SELECT * FROM direct
+    """
+
+
+@query("q_bitmap_postings", oracle=_bitmap_oracle())
+def q_bitmap_postings(spark, sf_dir):
+    """Bitmap-index build (the Roaring/bitmap-posting technique OLAP
+    engines use for set operations): posting lists packed into
+    32-bit word-aligned bitmaps — word = doc_id DIV 32, bitmap =
+    OR of set bits expressed as SUM(DISTINCT 2^bit) (exact: distinct
+    powers of two sum without carries) — then per-term cardinality
+    recovered via bit_count, and a two-term AND-intersection computed
+    word-by-word. The 'pair_direct' row recomputes the intersection
+    from the raw postings: bitmap-AND and direct join MUST agree, so
+    the query self-verifies the packing (and the oracle hash pins
+    both paths).
+
+    Scale: bitmaps shrink the posting join by 32x per word and the
+    intersection is an equi-join on word — the standard bitmap-index
+    pushdown; 2^bit stays exact in a double (bit < 32) so the
+    construction is engine-portable without shift-by-column (Spark
+    shiftleft takes only literal shift amounts)."""
+    t0, t1 = _PRF_SEED[0], _PRF_SEED[1]
+    post = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("term"))
+        .where(F.col("term").isin(list(_PRF_SEED)))
+        .distinct()
+    )
+    bm = post.groupBy(
+        "term", F.expr("doc_id DIV 32").alias("word")
+    ).agg(
+        F.sum_distinct(
+            F.pow(F.lit(2.0), F.col("doc_id") % 32).cast("long")
+        )
+        .cast("long")
+        .alias("bitmap")
+    )
+    per_term = bm.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.expr("bit_count(bitmap)")).cast("long").alias("n_docs"),
+    ).select(
+        F.lit("term").alias("kind"),
+        F.col("term").alias("key"),
+        "n_words",
+        "n_docs",
+    )
+    a = bm.where(F.col("term") == t0).select(
+        "word", F.col("bitmap").alias("bm_a")
+    )
+    b = bm.where(F.col("term") == t1).select(
+        "word", F.col("bitmap").alias("bm_b")
+    )
+    pair = (
+        a.join(b, "word")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.expr("bit_count(bm_a & bm_b)")).cast("long").alias("n_docs"),
+        )
+        .select(
+            F.lit("pair").alias("kind"),
+            F.lit(f"{t0}&{t1}").alias("key"),
+            "n_words",
+            "n_docs",
+        )
+    )
+    pa = post.where(F.col("term") == t0).select("doc_id")
+    pb = post.where(F.col("term") == t1).select("doc_id")
+    direct = pa.join(pb, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.lit("pair_direct").alias("kind"),
+        F.lit(f"{t0}&{t1}").alias("key"),
+        F.lit(0).cast("long").alias("n_words"),
+        "n_docs",
+    )
+    return per_term.unionByName(pair).unionByName(direct)

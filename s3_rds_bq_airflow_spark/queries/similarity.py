@@ -1177,3 +1177,110 @@ def q_ann_recall_eval(spark, sf_dir):
             F.count(F.lit(1)).cast("double") / F.lit(_TOPK).cast("double")
         ).alias("recall_at_k"),
     )
+
+
+_KNN_CLASSIFY_ORACLE = """
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+e AS (
+    SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM q
+),
+p AS (
+    SELECT vec_id AS probe_id, x AS px, i FROM e WHERE vec_id % 100 = 0
+),
+norms AS (
+    SELECT vec_id, SUM(CAST(x AS HUGEINT) * x) AS n2 FROM e GROUP BY 1
+),
+dots AS (
+    SELECT p.probe_id, e.vec_id, SUM(CAST(e.x AS HUGEINT) * p.px) AS dot
+    FROM e JOIN p ON e.i = p.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.probe_id, d.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                              ORDER BY CAST(d.dot AS DOUBLE)
+                                       / SQRT(CAST(ne.n2 AS DOUBLE) * CAST(np.n2 AS DOUBLE))
+                                       DESC, d.vec_id) AS rn
+    FROM dots d
+      JOIN norms ne ON d.vec_id = ne.vec_id
+      JOIN norms np ON d.probe_id = np.vec_id
+    WHERE d.vec_id <> d.probe_id
+),
+votes AS (
+    SELECT s.probe_id, q.label AS nb_label, COUNT(*) AS n_votes
+    FROM scored s JOIN q ON s.neighbor_id = q.vec_id
+    WHERE s.rn <= 5
+    GROUP BY 1, 2
+),
+pred AS (
+    SELECT probe_id, nb_label AS predicted,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY n_votes DESC, nb_label) AS vr
+    FROM votes
+)
+SELECT q.label AS label_true, p.predicted AS label_pred, COUNT(*) AS n
+FROM pred p JOIN q ON p.probe_id = q.vec_id
+WHERE p.vr = 1
+GROUP BY 1, 2
+"""
+
+
+@query("q_knn_classify", oracle=_KNN_CLASSIFY_ORACLE)
+def q_knn_classify(spark, sf_dir):
+    """k-NN classification (Cover & Hart 1967) over the embedding
+    table: every probe (vec_id % 100 == 0) classified by majority
+    vote of its 5 nearest neighbors (int3 exact-integer cosine gear —
+    the same hash-portable ranking as q_knn_join), confusion matrix
+    out. Vote argmax carries a (count DESC, label ASC) tiebreak so
+    the prediction is total-ordered.
+
+    Plan: the knn_join operator's broadcast-probes x stationary-
+    corpus scan + per-probe window, then a label join and two small
+    keyed aggregations — classification adds no corpus-sized work
+    beyond the neighbor search itself; at 100 TB the IVF/LSH ANN arms
+    slot in for the brute-force arm unchanged (same (probe_id,
+    neighbor_id) contract)."""
+    from ..operators.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    knn = knn_join(
+        emb.select("vec_id", "embedding"),
+        probes.select("vec_id", "embedding"),
+        5,
+        exact="int3",
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        knn.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "nb_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("probe_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window as W
+
+    vw = W.partitionBy("probe_id").orderBy(F.col("n_votes").desc(), F.col("nb_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("probe_id", F.col("nb_label").alias("label_pred"))
+    )
+    return (
+        pred.join(
+            labels.withColumnRenamed("vec_id", "probe_id").withColumnRenamed(
+                "label", "label_true"
+            ),
+            "probe_id",
+        )
+        .groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
