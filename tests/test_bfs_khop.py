@@ -46,3 +46,34 @@ def test_min_distance_wins_on_diamond(spark):
     sources = spark.createDataFrame([(0,)], ["id"])
     got = {r["id"]: r["dist"] for r in bfs_khop(sources, edges, 4).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_labeled_bfs_matches_per_source_runs(spark):
+    """bfs_khop_labeled == an independent bfs_khop per source: the
+    labeled generalization must not let sources interfere (the
+    visited anti-join is keyed on (src_id, id), not id alone)."""
+    from pyspark.sql import functions as F
+
+    from s3_rds_bq_airflow_spark.operators.cluster import bfs_khop_labeled
+
+    nodes = spark.range(0, 60).select(F.col("id"))
+    strides = F.array(F.lit(7), F.lit(13))
+    edges = (
+        nodes.select("id", F.explode(strides).alias("d"))
+        .select(F.col("id").alias("src"), (F.col("id") + F.col("d")).alias("dst"))
+        .join(nodes.withColumnRenamed("id", "dst"), "dst")
+    )
+    sources = nodes.where(F.col("id") < 3).select(
+        F.col("id").alias("src_id"), "id"
+    )
+    got = {
+        (r.src_id, r.id): r.dist
+        for r in bfs_khop_labeled(sources, edges, 4).collect()
+    }
+    for s in range(3):
+        single = nodes.where(F.col("id") == s)
+        per_src = {
+            r.id: r.dist for r in bfs_khop(single, edges, 4).collect()
+        }
+        labeled = {i: d for (src, i), d in got.items() if src == s}
+        assert labeled == per_src, f"source {s} diverged"
