@@ -555,3 +555,97 @@ def q_lateness_histogram(spark, sf_dir):
         .groupBy("late_days")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "q_cooccurrence_recs",
+    oracle="""
+    WITH owned AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cooc AS (
+        SELECT a.item AS item, b.item AS rec_item, COUNT(*) AS n_co
+        FROM owned a JOIN owned b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    targets AS (SELECT DISTINCT user_id FROM owned WHERE user_id < 3),
+    cand AS (
+        SELECT o.user_id, c.rec_item, CAST(SUM(c.n_co) AS BIGINT) AS score
+        FROM owned o
+        JOIN targets t ON o.user_id = t.user_id
+        JOIN cooc c ON c.item = o.item
+        LEFT JOIN owned h ON h.user_id = o.user_id AND h.item = c.rec_item
+        WHERE h.item IS NULL
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, rec_item, score,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY score DESC, rec_item) AS rn
+        FROM cand
+    )
+    SELECT user_id, rec_item, score, rn AS rank FROM ranked WHERE rn <= 5
+    """,
+)
+def q_cooccurrence_recs(spark, sf_dir):
+    """Item-to-item collaborative filtering (Linden/Smith/York, the
+    Amazon item-item paper, IEEE Internet Computing 2003): items
+    co-purchased by the same user form a co-occurrence matrix;
+    recommendations for a user = unowned items ranked by summed
+    co-occurrence with what they own. Top-5 per target user, integer
+    scores, (score DESC, item) tiebreak.
+
+    Scale shape: the co-occurrence self-join is keyed on user_id and
+    its fanout is quadratic in ITEMS PER USER — bounded here by the
+    natural item vocabulary; at an unbounded catalog the standard
+    discipline is a per-user recent-N cap (one window) before
+    pairing, which this plan accepts unchanged. The matrix itself is
+    item-pair-sized (vocabulary^2 worst case, co-occurrence-sparse in
+    practice); candidate generation is an equi-join of the target
+    users' items against it, ownership excluded with an anti-join
+    BEFORE ranking."""
+    ev = t(spark, sf_dir, "events")
+    owned = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    a, b = owned.alias("a"), owned.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("rec_item"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    targets = owned.where(F.col("user_id") < 3).select("user_id").distinct()
+    cand = (
+        owned.join(targets, "user_id")
+        .join(cooc, "item")
+        .join(
+            owned.select(
+                F.col("user_id").alias("user_id"),
+                F.col("item").alias("rec_item"),
+            ),
+            ["user_id", "rec_item"],
+            "left_anti",
+        )
+        .groupBy("user_id", "rec_item")
+        .agg(F.sum("n_co").cast("long").alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("rec_item"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("user_id", "rec_item", "score", "rank")
+    )
