@@ -241,3 +241,85 @@ def q_time_to_convert(spark, sf_dir):
         F.min("delta_us").cast("long").alias("min_us"),
         F.max("delta_us").cast("long").alias("max_us"),
     )
+
+
+@query(
+    "q_survival_table",
+    oracle="""
+    WITH pur AS (
+        SELECT user_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    horizon AS (SELECT MAX(ts) AS end_ts FROM events WHERE event_type = 'purchase'),
+    u AS (
+        SELECT f.user_id, f.ts AS t1, s.ts AS t2
+        FROM (SELECT user_id, ts FROM pur WHERE rn = 1) f
+        LEFT JOIN (SELECT user_id, ts FROM pur WHERE rn = 2) s USING (user_id)
+    ),
+    dur AS (
+        SELECT CAST(date_diff('microsecond', t1, COALESCE(t2, h.end_ts))
+                    // 86400000000 AS BIGINT) AS dur_days,
+               CAST(t2 IS NOT NULL AS INT) AS event
+        FROM u, horizon h
+    ),
+    g AS (
+        SELECT dur_days,
+               CAST(SUM(event) AS BIGINT) AS d_events,
+               CAST(SUM(1 - event) AS BIGINT) AS n_censored
+        FROM dur GROUP BY dur_days
+    )
+    SELECT dur_days, d_events, n_censored,
+           CAST(SUM(d_events + n_censored)
+                OVER (ORDER BY dur_days DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_risk
+    FROM g
+    """,
+)
+def q_survival_table(spark, sf_dir):
+    """Kaplan-Meier survival table for repeat-purchase latency: per
+    user, days from first to second purchase (right-censored at the
+    observation horizon = max purchase timestamp — data-derived, no
+    wall clock), then the KM ingredients per distinct duration:
+    events d_i, censored c_i, and the at-risk count n_i as a REVERSE
+    running sum (everyone whose duration is >= d). The survivor
+    product itself is left to the consumer: a cumulative float
+    product is NOT engine-portable (exp/ln round differently), while
+    this table is all exact integers — days come from integer
+    microseconds by truncating DIV, the portable gear.
+
+    Scale: one user-keyed window for the purchase ranking (shared
+    shuffle), a duration groupBy, and one ordered pass over the
+    DISTINCT-duration aggregate (value-domain-sized, like the
+    skyline's running min)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pur = e.select("user_id", "ts", F.row_number().over(w).alias("rn"))
+    first = pur.where(F.col("rn") == 1).select("user_id", F.col("ts").alias("t1"))
+    second = pur.where(F.col("rn") == 2).select("user_id", F.col("ts").alias("t2"))
+    horizon = e.agg(F.max("ts").alias("end_ts"))
+    u = first.join(second, "user_id", "left").crossJoin(F.broadcast(horizon))
+    dur = u.select(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, t1, COALESCE(t2, end_ts))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("dur_days"),
+        F.col("t2").isNotNull().cast("int").alias("event"),
+    )
+    g = dur.groupBy("dur_days").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("n_censored"),
+    )
+    wr = W.orderBy(F.col("dur_days").desc()).rowsBetween(W.unboundedPreceding, 0)
+    return g.select(
+        "dur_days",
+        "d_events",
+        "n_censored",
+        F.sum(F.col("d_events") + F.col("n_censored"))
+        .over(wr)
+        .cast("long")
+        .alias("n_risk"),
+    )

@@ -1148,3 +1148,83 @@ def q_calibration_bins(spark, sf_dir):
         F.sum("pass").cast("long").alias("n_pass"),
         (F.sum("pass").cast("double") / F.count(F.lit(1))).alias("pass_rate"),
     )
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+    WITH j AS (
+        SELECT CAST(c.c_mktsegment = 'BUILDING' AS INT) AS treat,
+               CAST(o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS INT)
+                   AS post,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT
+            CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN cents END) AS DOUBLE)
+                / SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 END) / 100 AS m_c_pre,
+            CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN cents END) AS DOUBLE)
+                / SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 END) / 100 AS m_c_post,
+            CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN cents END) AS DOUBLE)
+                / SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 END) / 100 AS m_t_pre,
+            CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN cents END) AS DOUBLE)
+                / SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 END) / 100 AS m_t_post,
+            CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM j
+    )
+    SELECT n_orders, m_c_pre, m_c_post, m_t_pre, m_t_post,
+           (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_effect
+    FROM cells
+    """,
+)
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences (Card & Krueger 1994's workhorse):
+    treatment = BUILDING-segment customers, period split at
+    1998-01-01; the causal-effect estimate is the double difference
+    of the four cell means. All four means come from ONE conditional
+    aggregation pass (exact integer-cent sums; each mean is a single
+    deterministic double division, and the DiD combination is the
+    same parenthesized expression tree on both engines — the q_bm25
+    float discipline).
+
+    Scale: one broadcast dimension join + one aggregate, no window,
+    no second pass; the 2x2 design generalizes to any cell count as
+    extra CASE arms in the same pass."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def cell(tr, po):
+        hit = (F.col("treat") == tr) & (F.col("post") == po)
+        return (
+            F.sum(F.when(hit, F.col("cents"))).cast("double")
+            / F.sum(F.when(hit, F.lit(1)))
+            / 100
+        )
+
+    cells = j.agg(
+        cell(0, 0).alias("m_c_pre"),
+        cell(0, 1).alias("m_c_post"),
+        cell(1, 0).alias("m_t_pre"),
+        cell(1, 1).alias("m_t_post"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return cells.select(
+        "n_orders",
+        "m_c_pre",
+        "m_c_post",
+        "m_t_pre",
+        "m_t_post",
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_effect"),
+    )
