@@ -1228,3 +1228,151 @@ def q_diff_in_diff(spark, sf_dir):
             - (F.col("m_c_post") - F.col("m_c_pre"))
         ).alias("did_effect"),
     )
+
+
+def _acf_oracle() -> str:
+    def arm(lag: int) -> str:
+        return f"""
+    p{lag} AS (
+        SELECT a.rev AS x, b.rev AS y FROM daily a
+        JOIN daily b ON a.d = b.d + {lag}
+    ),
+    s{lag} AS (
+        SELECT CAST({lag} AS INT) AS lag, COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxy
+        FROM p{lag}
+    )"""
+
+    corr = (
+        "ROUND((sxy - sx * sy / n_pairs)"
+        " / (SQRT(sxx - sx * sx / n_pairs) * SQRT(syy - sy * sy / n_pairs)),"
+        " 12)"
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1
+    ),{arm(1)},{arm(7)}
+    SELECT lag, n_pairs, {corr} AS acf_r12 FROM s1
+    UNION ALL
+    SELECT lag, n_pairs, {corr} AS acf_r12 FROM s7
+    """
+
+
+@query("q_autocorrelation", oracle=_acf_oracle())
+def q_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the daily-revenue series at lags 1 and 7 —
+    the seasonality detector behind the weekday-residual monitor
+    (q_seasonal_residual assumes weekly structure; this measures it).
+    Lag pairs come from a CALENDAR self-join (a.d = b.d + lag), so
+    missing days break pairs instead of silently shifting rows (a
+    row-LAG window would misalign across gaps); the Pearson r uses
+    the exact decimal power-sum discipline of q_stats_moments, with
+    the final expression rounded at 12 decimals to absorb the
+    decimal->double last-ulp skew.
+
+    Scale: the fact table collapses to the DAY value domain first;
+    both lag arms join and aggregate day-sized data."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("rev"))
+    )
+
+    def arm(lag: int):
+        a, b = daily.alias("a"), daily.alias("b")
+        p = a.join(b, F.col("a.d") == F.date_add(F.col("b.d"), lag)).select(
+            F.col("a.rev").cast("decimal(38,0)").alias("x"),
+            F.col("b.rev").cast("decimal(38,0)").alias("y"),
+        )
+        s = p.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        )
+        n, sx, sy, sxx, syy, sxy = (
+            F.col(c) for c in ("n_pairs", "sx", "sy", "sxx", "syy", "sxy")
+        )
+        return s.select(
+            F.lit(lag).cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                (sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+                12,
+            ).alias("acf_r12"),
+        )
+
+    return arm(1).unionByName(arm(7))
+
+
+_BENFORD_PM = (301, 176, 125, 97, 79, 67, 58, 51, 46)  # round(log10(1+1/d)*1000)
+
+
+@query(
+    "q_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d1
+        FROM orders
+    ),
+    obs AS (
+        SELECT d1, COUNT(*) AS n_d FROM digits GROUP BY d1
+    ),
+    tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM obs),
+    bf AS (
+        SELECT unnest(range(1, 10)) AS d1,
+               unnest([{", ".join(str(p) for p in _BENFORD_PM)}]) AS benford_pm
+    )
+    SELECT b.d1, b.benford_pm,
+           CAST(COALESCE(o.n_d, 0) AS BIGINT) AS n_d,
+           CAST(COALESCE(o.n_d, 0) AS DOUBLE) * 1000 / t.n AS obs_pm
+    FROM bf b LEFT JOIN obs o ON b.d1 = o.d1, tot t
+    """,
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (the accounting-fraud screen —
+    Nigrini 1996): distribution of the leading digit of order totals
+    against Benford's law. The leading digit is extracted from the
+    EXACT integer cents (decimal -> cents -> string head — never a
+    float format, whose shortest-repr rendering differs by engine);
+    expected per-mille frequencies are integer literals (log10 is
+    transcendental — baked, not computed). One scan, 9-key aggregate,
+    one double division for the observed per-mille."""
+    digits = t(spark, sf_dir, "orders").select(
+        F.substring(
+            (dec("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d1")
+    )
+    obs = digits.groupBy("d1").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = obs.agg(F.sum("n_d").cast("long").alias("n"))
+    bf = spark.createDataFrame(
+        [(i + 1, pm) for i, pm in enumerate(_BENFORD_PM)], ["d1", "benford_pm"]
+    )
+    return (
+        bf.join(obs, "d1", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d1",
+            "benford_pm",
+            F.coalesce("n_d", F.lit(0)).cast("long").alias("n_d"),
+            (
+                F.coalesce("n_d", F.lit(0)).cast("double") * 1000 / F.col("n")
+            ).alias("obs_pm"),
+        )
+    )
