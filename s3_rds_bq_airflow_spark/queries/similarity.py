@@ -1179,8 +1179,7 @@ def q_ann_recall_eval(spark, sf_dir):
     )
 
 
-_KNN_CLASSIFY_ORACLE = """
-WITH q AS (
+_KNN_VOTES_CTES = """q AS (
     SELECT vec_id, label,
            list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
@@ -1216,9 +1215,13 @@ votes AS (
     FROM scored s JOIN q ON s.neighbor_id = q.vec_id
     WHERE s.rn <= 5
     GROUP BY 1, 2
-),
+)
+"""
+
+_KNN_CLASSIFY_ORACLE = f"""
+WITH {_KNN_VOTES_CTES},
 pred AS (
-    SELECT probe_id, nb_label AS predicted,
+    SELECT probe_id, nb_label AS predicted, n_votes,
            ROW_NUMBER() OVER (PARTITION BY probe_id
                               ORDER BY n_votes DESC, nb_label) AS vr
     FROM votes
@@ -1283,4 +1286,79 @@ def q_knn_classify(spark, sf_dir):
         )
         .groupBy("label_true", "label_pred")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LABEL_NOISE_ORACLE = f"""
+WITH {_KNN_VOTES_CTES},
+pred AS (
+    SELECT probe_id, nb_label AS predicted, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY n_votes DESC, nb_label) AS vr
+    FROM votes
+)
+SELECT q.vec_id AS probe_id, q.label AS label_true,
+       p.predicted AS label_pred, CAST(p.n_votes AS BIGINT) AS n_votes
+FROM pred p JOIN q ON p.probe_id = q.vec_id
+WHERE p.vr = 1 AND p.n_votes >= 2 AND p.predicted <> q.label
+"""
+
+
+@query("q_label_noise", oracle=_LABEL_NOISE_ORACLE)
+def q_label_noise(spark, sf_dir):
+    """Label-noise detection by neighborhood consensus (the
+    confident-learning idea, Northcutt et al., JAIR 2021, applied
+    through k-NN): flag probes whose 5-neighbor plurality vote (multiplicity >= 2)
+    lands on a DIFFERENT class than the probe's own label — the strongest
+    candidates for mislabeling review in a labeled training set.
+    Shares the `_KNN_VOTES_CTES` vote pipeline with q_knn_classify
+    (one source of truth); vote counts are exact integers with the
+    same (count, label) argmax tiebreak.
+
+    Scale: identical plan to q_knn_classify minus the confusion
+    rollup — the flagged set is output directly (bounded by the probe
+    count; at 100 TB the ANN arms replace the brute-force neighbor
+    search unchanged)."""
+    from ..operators.similarity import knn_join
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 100 == 0)
+    knn = knn_join(
+        emb.select("vec_id", "embedding"),
+        probes.select("vec_id", "embedding"),
+        5,
+        exact="int3",
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        knn.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "nb_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("probe_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vw = W.partitionBy("probe_id").orderBy(F.col("n_votes").desc(), F.col("nb_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where((F.col("vr") == 1) & (F.col("n_votes") >= 2))
+        .select("probe_id", F.col("nb_label").alias("label_pred"), "n_votes")
+    )
+    return (
+        pred.join(
+            labels.withColumnRenamed("vec_id", "probe_id").withColumnRenamed(
+                "label", "label_true"
+            ),
+            "probe_id",
+        )
+        .where(F.col("label_pred") != F.col("label_true"))
+        .select(
+            "probe_id",
+            "label_true",
+            "label_pred",
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
     )
