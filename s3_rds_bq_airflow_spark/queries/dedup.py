@@ -456,3 +456,94 @@ def q_fuzzy_match_blocked(spark, sf_dir):
         .where(F.col("dist") <= 1)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def _containment_oracle() -> str:
+    from .textops import NORMALIZE_SQL, ngram_list_sql
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORMALIZE_SQL}, ' ') AS tk FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h
+        FROM (SELECT doc_id, unnest({ngram_list_sql('tk', 5)}) AS s FROM toks)
+    ),
+    capped AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 64),
+    ss AS (SELECT sh.doc_id, sh.h FROM sh JOIN capped USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ss GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ss a JOIN ss b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+           CAST(inter * 1000 // sa.sz AS BIGINT) AS cont_a_pm,
+           CAST(inter * 1000 // sb.sz AS BIGINT) AS cont_b_pm
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 5 >= 4 * sa.sz OR inter * 5 >= 4 * sb.sz
+    """
+
+
+@query("q_containment_dedup", oracle=_containment_oracle())
+def q_containment_dedup(spark, sf_dir):
+    """Containment dedup — SUBSET detection (Broder 1997's
+    containment C(A,B) = |S(A) n S(B)| / |S(A)|, the asymmetric
+    complement of the Jaccard family): a short doc fully quoted
+    inside a long one scores low Jaccard but high containment, so
+    MinHash/SimHash miss exactly the quotation/boilerplate-inclusion
+    duplicates this catches. Pairs with >= 80%% containment in either
+    direction (integer cross-multiplication, per-mille reported via
+    truncating DIV).
+
+    Scale: 5-token shingles hashed to longs (shuffles move longs,
+    never text); shingles with document frequency > 64 are DROPPED
+    BEFORE pairing (the stop-shingle cap — bounds the equi-join
+    fanout at any corpus size, the same discipline as the LSH band
+    joins; sizes are computed on the capped universe so containment
+    stays well-defined); candidate pairs come only from the shingle
+    equi-join — no all-pairs stage anywhere."""
+    from ..operators.dedup import token_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = token_shingles(docs, "text", "doc_id", k=5, exact=True)
+    capped = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= 64
+    ).select("_h")
+    ss = sh.join(capped, "_h")
+    sizes = ss.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ss.select(F.col("_id").alias("doc_a"), "_h")
+    b = ss.select(F.col("_id").alias("doc_b"), "_h")
+    pairs = (
+        a.join(b, "_h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .where(
+            (F.col("inter") * 5 >= 4 * F.col("size_a"))
+            | (F.col("inter") * 5 >= 4 * F.col("size_b"))
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.expr("CAST(inter * 1000 DIV size_a AS BIGINT)").alias("cont_a_pm"),
+        F.expr("CAST(inter * 1000 DIV size_b AS BIGINT)").alias("cont_b_pm"),
+    )
