@@ -764,3 +764,59 @@ def q_bucketed_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+@query(
+    "q_partition_checksums",
+    oracle="""
+    WITH rh AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+               CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                   o_orderpriority
+               ), 1, 15) AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT yr, COUNT(*) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS checksum
+    FROM rh GROUP BY yr
+    """,
+)
+def q_partition_checksums(spark, sf_dir):
+    """Partition-level content checksums — reconciliation at 100 TB
+    without moving data (the scale form of the reference's
+    count-and-compare verification tier): each row canonicalizes to a
+    pipe-joined string (money through DECIMAL so both engines render
+    identically, timestamps at second precision), hashes to a 60-bit
+    md5 integer, and per-partition (order year) the checksum is the
+    XOR-fold — order-independent, merge-able, and a single long per
+    partition to ship to the other side. A mismatch localizes
+    repair to ONE partition instead of a full-table diff
+    (q_snapshot_diff is the row-level follow-up for the flagged
+    partition).
+
+    One scan, one small aggregate; XOR makes the fold commutative/
+    associative so any partitioning computes the same checksum."""
+    o = t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        dec("o_totalprice").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(F.year("o_orderdate").alias("yr"), h.alias("h"))
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("checksum"),
+        )
+    )
