@@ -1243,3 +1243,76 @@ def q_abc_analysis(spark, sf_dir):
             "class_revenue"
         ),
     )
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+    WITH cr AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM cr
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+                   AS six
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 9) AS gini_r9
+    FROM s
+    """,
+)
+def q_gini_concentration(spark, sf_dir):
+    """Gini coefficient of revenue concentration across customers
+    (the Lorenz-curve summary behind every 'top X% of customers drive
+    Y% of revenue' claim; completes the concentration pair with
+    q_abc_analysis): G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending-sorted customer revenues. Every sum is an exact
+    DECIMAL(38,0) of integer cents; the single double division is
+    rounded at 9 decimals because the numerator's unscaled value can
+    exceed 2^53 where DECIMAL->DOUBLE conversion is one-ulp
+    engine-divergent (the documented gotcha) — rounding absorbs
+    exactly that.
+
+    Scale: fact collapses to per-customer revenue first; the rank
+    window runs over the customer DIMENSION (the q_abc_analysis
+    posture, with the same range-bucket escape hatch at extreme
+    cardinality)."""
+    from pyspark.sql import Window as W
+
+    cr = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("cents"))
+    )
+    ranked = cr.select(
+        "cents",
+        F.row_number()
+        .over(W.orderBy(F.col("cents"), F.col("o_custkey")))
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx")).cast("double"),
+            9,
+        ).alias("gini_r9"),
+    )
