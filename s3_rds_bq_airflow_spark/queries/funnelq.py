@@ -323,3 +323,61 @@ def q_survival_table(spark, sf_dir):
         .cast("long")
         .alias("n_risk"),
     )
+
+
+@query(
+    "q_path_analysis",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def q_path_analysis(spark, sf_dir):
+    """User-path analysis: the top-10 opening event sequences (first
+    three events per user, '>'-joined) by user count — the entry-path
+    report behind onboarding funnels (which first-touch sequences
+    dominate, where do journeys start diverging). Event order is
+    total: (ts, event_id) — simultaneous events cannot flip the path
+    string between runs or engines.
+
+    Scale: ONE user-keyed window shuffle (rank), a per-user
+    3-element ordered fold (array_sort over rank-tagged structs —
+    bounded, never a whole history), then a path-keyed count with
+    map-side combine and a TakeOrdered(10)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    paths = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(10)
+    )
