@@ -275,3 +275,34 @@ def test_bottomk_sample_is_take_ordered(q):
     nodes = plan_nodes(q("q_bottomk_sample"))
     assert any("TakeOrderedAndProject" in n for n in nodes)
     assert not any(n.strip().startswith("Sort ") and "global=true" in n for n in nodes)
+
+
+def test_round6c_scale_pins(q):
+    """Round-6c additions: shuffle budgets for the lean single-pass
+    analytics (a regression that adds a shuffle to a one-aggregation
+    audit fails here), and the broadcast/bounded shape of the
+    retrieval ops."""
+    assert_max_shuffles(q("q_k_anonymity"), 1)
+    assert_max_shuffles(q("q_l_diversity"), 2)
+    assert_max_shuffles(q("q_calibration_bins"), 1)
+    assert_max_shuffles(q("q_diff_in_diff"), 1)
+    assert_max_shuffles(q("q_partition_checksums"), 1)
+    assert_max_shuffles(q("q_benford_audit"), 3)
+    assert_max_shuffles(q("q_jackknife_ci"), 2)
+    assert_max_shuffles(q("q_gini_concentration"), 2)
+    assert_max_shuffles(q("q_path_analysis"), 2)
+    assert_max_shuffles(q("q_knn_classify"), 2)
+    assert_max_shuffles(q("q_dsir_select"), 2)
+
+
+def test_round6c_no_allpairs_in_pair_ops(q, spark, sf_dir):
+    """The pair-producing round-6c ops must candidate-generate via
+    equi-joins (blocked / shingle / user-keyed), never a cartesian of
+    two distributed relations."""
+    for name in (
+        "q_entity_resolution",
+        "q_containment_dedup",
+        "q_cooccurrence_recs",
+        "q_mmr_rerank",
+    ):
+        assert "CartesianProduct" not in plan_nodes(q(name)), name
