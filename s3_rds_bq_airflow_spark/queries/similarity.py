@@ -1189,7 +1189,7 @@ e AS (
     SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM q
 ),
 p AS (
-    SELECT vec_id AS probe_id, x AS px, i FROM e WHERE vec_id % 100 = 0
+    SELECT vec_id AS probe_id, x AS px, i FROM e WHERE vec_id % 100 = 0 AND vec_id < 20000
 ),
 norms AS (
     SELECT vec_id, SUM(CAST(x AS HUGEINT) * x) AS n2 FROM e GROUP BY 1
@@ -1251,7 +1251,13 @@ def q_knn_classify(spark, sf_dir):
     from ..operators.similarity import knn_join
 
     emb = t(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0)
+    # SF-INVARIANT probe set (vec_id < 20000): the brute-force arm's
+    # work is |probes| x |corpus|; a probe set that grows with the
+    # corpus turns that quadratic in scale (measured 16-20x at the
+    # 10x sf1 step) — a fixed probe panel keeps it linear, and the
+    # production posture for corpus-sized probe sets is the
+    # LSH/IVF bucketed join, not brute force.
+    probes = emb.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 20000))
     knn = knn_join(
         emb.select("vec_id", "embedding"),
         probes.select("vec_id", "embedding"),
@@ -1323,7 +1329,13 @@ def q_label_noise(spark, sf_dir):
     from pyspark.sql import Window as W
 
     emb = t(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 100 == 0)
+    # SF-INVARIANT probe set (vec_id < 20000): the brute-force arm's
+    # work is |probes| x |corpus|; a probe set that grows with the
+    # corpus turns that quadratic in scale (measured 16-20x at the
+    # 10x sf1 step) — a fixed probe panel keeps it linear, and the
+    # production posture for corpus-sized probe sets is the
+    # LSH/IVF bucketed join, not brute force.
+    probes = emb.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 20000))
     knn = knn_join(
         emb.select("vec_id", "embedding"),
         probes.select("vec_id", "embedding"),
