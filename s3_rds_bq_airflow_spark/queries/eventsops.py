@@ -557,6 +557,82 @@ def q_lateness_histogram(spark, sf_dir):
     )
 
 
+def cap_recent_items(purchases, recent_n):
+    """Per-user recent-N ownership cap — the scale gear for item-item
+    CF pairing (Linden/Smith/York §'scalability': bound the per-user
+    history before the quadratic pairing step).
+
+    ``purchases`` is (user_id, item, ts) with duplicates allowed; the
+    result is one row per (user_id, item) keeping only each user's
+    ``recent_n`` most recently purchased distinct items (latest ts per
+    item; (ts DESC, item) tiebreak). ``recent_n=None`` is the uncapped
+    exact mode. The cap bounds the co-occurrence self-join's fanout at
+    recent_n*(recent_n-1) pairs per user regardless of how degenerate
+    a power user's history is — without it, one 10^5-item user on a
+    100 TB event log emits 10^10 pairs from a single key.
+    """
+    from pyspark.sql import Window as W
+
+    owned = purchases.groupBy("user_id", "item").agg(F.max("ts").alias("_last_ts"))
+    if recent_n is not None:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("_last_ts").desc(), F.col("item")
+        )
+        owned = (
+            owned.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= recent_n)
+            .drop("_rn")
+        )
+    return owned.drop("_last_ts")
+
+
+def cooccurrence_recommendations(purchases, targets, recent_n=50):
+    """Item-item CF core: co-occurrence matrix from per-user ownership
+    pairs, candidate generation by equi-joining target users' items
+    against it, ownership anti-joined out BEFORE ranking, top-5 per
+    user on (score DESC, item).
+
+    ``recent_n`` (default 50) applies :func:`cap_recent_items` before
+    the pairing self-join — the default gear; ``None`` is the uncapped
+    exact mode that the DuckDB oracle replays. The two gears agree
+    whenever every user owns at most ``recent_n`` distinct items
+    (true of every verification fixture: max 25 at sf0.1).
+    """
+    from pyspark.sql import Window as W
+
+    owned = cap_recent_items(purchases, recent_n)
+    a, b = owned.alias("a"), owned.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("rec_item"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    cand = (
+        owned.join(targets, "user_id")
+        .join(cooc, "item")
+        .join(
+            owned.select(
+                F.col("user_id").alias("user_id"),
+                F.col("item").alias("rec_item"),
+            ),
+            ["user_id", "rec_item"],
+            "left_anti",
+        )
+        .groupBy("user_id", "rec_item")
+        .agg(F.sum("n_co").cast("long").alias("score"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("rec_item"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("user_id", "rec_item", "score", "rank")
+    )
+
+
 @query(
     "q_cooccurrence_recs",
     oracle="""
@@ -599,53 +675,26 @@ def q_cooccurrence_recs(spark, sf_dir):
     scores, (score DESC, item) tiebreak.
 
     Scale shape: the co-occurrence self-join is keyed on user_id and
-    its fanout is quadratic in ITEMS PER USER — bounded here by the
-    natural item vocabulary; at an unbounded catalog the standard
-    discipline is a per-user recent-N cap (one window) before
-    pairing, which this plan accepts unchanged. The matrix itself is
+    its fanout is quadratic in ITEMS PER USER, so the default gear
+    applies the per-user recent-N cap (:func:`cap_recent_items`,
+    N=50, one window on the user key) BEFORE pairing — pair output is
+    bounded at N*(N-1) per user no matter how degenerate a power
+    user's history is. The uncapped exact mode (``recent_n=None``) is
+    what the DuckDB oracle replays; the gears agree because every
+    fixture user owns at most 25 distinct items (driver SFs and the
+    stride-shifted sf1/sf10 replicas alike — the stride shift
+    preserves per-user cardinality). The matrix itself is
     item-pair-sized (vocabulary^2 worst case, co-occurrence-sparse in
     practice); candidate generation is an equi-join of the target
     users' items against it, ownership excluded with an anti-join
     BEFORE ranking."""
     ev = t(spark, sf_dir, "events")
-    owned = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .distinct()
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        "ts",
     )
-    a, b = owned.alias("a"), owned.alias("b")
-    cooc = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") != F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("rec_item"))
-        .agg(F.count(F.lit(1)).alias("n_co"))
+    targets = (
+        purchases.where(F.col("user_id") < 3).select("user_id").distinct()
     )
-    targets = owned.where(F.col("user_id") < 3).select("user_id").distinct()
-    cand = (
-        owned.join(targets, "user_id")
-        .join(cooc, "item")
-        .join(
-            owned.select(
-                F.col("user_id").alias("user_id"),
-                F.col("item").alias("rec_item"),
-            ),
-            ["user_id", "rec_item"],
-            "left_anti",
-        )
-        .groupBy("user_id", "rec_item")
-        .agg(F.sum("n_co").cast("long").alias("score"))
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("rec_item"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("user_id", "rec_item", "score", "rank")
-    )
+    return cooccurrence_recommendations(purchases, targets, recent_n=50)
