@@ -13,7 +13,9 @@ drops a pushdown fails CI rather than melting a 1000-executor run.
 from .inspect import (
     assert_broadcast_joins,
     assert_max_shuffles,
+    assert_no_single_partition_window,
     assert_pushed_filter,
+    single_partition_windows,
     broadcast_join_count,
     formatted_plan,
     plan_report,
@@ -33,5 +35,7 @@ __all__ = [
     "shuffle_count",
     "assert_broadcast_joins",
     "assert_max_shuffles",
+    "assert_no_single_partition_window",
     "assert_pushed_filter",
+    "single_partition_windows",
 ]

@@ -234,6 +234,64 @@ def unbounded_broadcast_tables(df: DataFrame) -> set[str]:
 # ---- assertions -----------------------------------------------------------
 
 
+def single_partition_windows(df: DataFrame) -> list[int]:
+    """Window node ids whose input is funneled through an
+    ``Exchange SinglePartition`` — the global-window scale-killer: the
+    ENTIRE relation sorts and ranks inside one task, so the operator
+    stops being distributed no matter how many executors exist.
+
+    Detection walks each Window node's unary input chain (through the
+    Sort / WindowGroupLimit / Project / Filter operators Spark plans
+    between a window and its required-distribution exchange) and flags
+    it when the chain reaches an Exchange whose detail block declares
+    ``SinglePartition``. Final global aggregates also use
+    SinglePartition exchanges — those are config-sized reductions and
+    are NOT reachable from a Window node, so they don't false-positive
+    here."""
+    text = formatted_plan(df)
+    tree = _tree_from_text(text)
+    single: set[int] = set()
+    cur: tuple[int, str] | None = None
+    for line in text.splitlines():
+        m = re.match(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9]*)", line)
+        if m:
+            cur = (int(m.group(1)), m.group(2))
+            continue
+        if (
+            cur is not None
+            and cur[1] == "Exchange"
+            and re.match(r"^Arguments\s*:\s*SinglePartition", line.strip())
+        ):
+            single.add(cur[0])
+    children: dict[int | None, list[tuple[int, str]]] = {}
+    for nid, name, _depth, parent in tree:
+        children.setdefault(parent, []).append((nid, name))
+    flagged: list[int] = []
+    for nid, name, _depth, _parent in tree:
+        if not name.startswith("Window"):
+            continue
+        cursor = nid
+        while True:
+            kids = children.get(cursor, [])
+            if len(kids) != 1:
+                break
+            kid_id, kid_name = kids[0]
+            head = kid_name.split()[0]
+            if head in ("Sort", "WindowGroupLimit", "Project", "Filter"):
+                cursor = kid_id
+                continue
+            if head == "Exchange" and kid_id in single:
+                flagged.append(nid)
+            break
+    return flagged
+
+
+def assert_no_single_partition_window(df: DataFrame) -> None:
+    assert not single_partition_windows(df), (
+        f"plan ranks through a single-partition Window:\n{formatted_plan(df)}"
+    )
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     """Assert some pushed filter mentions ``fragment`` (column name)."""
     filters = pushed_filters(df)

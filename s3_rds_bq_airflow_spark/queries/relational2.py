@@ -1208,13 +1208,15 @@ def q_abc_analysis(spark, sf_dir):
     A/B cut cannot drift between engines.
 
     Scale: the fact table collapses to per-part revenue FIRST (one
-    shuffle); the ordered cumulative then runs over the part
-    DIMENSION (orders of magnitude smaller than the fact rows). At
-    100 TB the dimension-wide window would switch to the range-bucket
-    gear proven by operators/curriculum (percentile boundaries +
-    within-bucket ranking) — same discipline, noted not needed at
-    dimension cardinality."""
-    from pyspark.sql import Window as W
+    shuffle); the ordered cumulative then runs through
+    ``operators/rangebucket.ordered_running`` — approx-percentile
+    range buckets that respect the total order, per-bucket PARTITIONED
+    windows, broadcast bucket-prefix offsets — so NO Exchange
+    SinglePartition feeds a Window (pinned in test_plans) even though
+    the part dimension grows linearly with the fact table. The values
+    are bit-identical to the global-window form, which is exactly what
+    the uncapped oracle replays."""
+    from ..operators.rangebucket import ordered_running
 
     pr = (
         t(spark, sf_dir, "lineitem")
@@ -1224,11 +1226,8 @@ def q_abc_analysis(spark, sf_dir):
     tot = pr.agg(
         F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("total")
     )
-    w = W.orderBy(F.col("rev_cents").desc(), F.col("l_partkey")).rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    ranked = pr.withColumn(
-        "cum", F.sum(F.col("rev_cents").cast("decimal(38,0)")).over(w)
+    ranked = ordered_running(
+        pr, "rev_cents", "l_partkey", descending=True, cum_col="cum"
     )
     cls = ranked.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
@@ -1284,23 +1283,23 @@ def q_gini_concentration(spark, sf_dir):
     engine-divergent (the documented gotcha) — rounding absorbs
     exactly that.
 
-    Scale: fact collapses to per-customer revenue first; the rank
-    window runs over the customer DIMENSION (the q_abc_analysis
-    posture, with the same range-bucket escape hatch at extreme
-    cardinality)."""
-    from pyspark.sql import Window as W
+    Scale: fact collapses to per-customer revenue first; the global
+    rank then comes from ``operators/rangebucket.ordered_running``
+    (range buckets + per-bucket partitioned ROW_NUMBER + broadcast
+    count offsets), so no single task ever ranks the whole customer
+    dimension (~10^9 customers behind a 100 TB order log). Values are
+    bit-identical to the single-partition window the oracle replays;
+    the no-SinglePartition-Window property is pinned in test_plans."""
+    from ..operators.rangebucket import ordered_running
 
     cr = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("cents"))
     )
-    ranked = cr.select(
-        "cents",
-        F.row_number()
-        .over(W.orderBy(F.col("cents"), F.col("o_custkey")))
-        .alias("i"),
-    )
+    ranked = ordered_running(
+        cr, "cents", "o_custkey", descending=False, index_col="i"
+    ).select("cents", "i")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),

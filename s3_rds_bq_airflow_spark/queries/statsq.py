@@ -424,12 +424,15 @@ def q_ks_drift(spark, sf_dir):
     support point.
 
     Scale note: the exact statistic needs a total order over distinct
-    values — fine for the per-slice cardinalities monitors compare
-    (and Spark range-partitions the sort); at extreme cardinality the
-    standard move is a binned ECDF over approx-percentile boundaries
-    (same shape as operators/curriculum's range gear), trading the
-    exact max for a bin-width error bound."""
-    from pyspark.sql import Window as W
+    values — a domain that GROWS with the data (billions of distinct
+    doubles behind a 100 TB event log), so the two running counters
+    come from ``operators/rangebucket.ordered_running`` (range buckets
+    + per-bucket partitioned windows + broadcast prefix offsets, one
+    shared bucket pipeline for both samples) rather than a
+    single-partition ORDER BY window. Values are bit-identical to the
+    global-window ECDF the oracle replays; the plan never funnels the
+    support through one task (pinned catalog-wide in test_plans)."""
+    from ..operators.rangebucket import ordered_running
 
     ev = (
         t(spark, sf_dir, "events")
@@ -442,9 +445,11 @@ def q_ks_drift(spark, sf_dir):
     grouped = ev.groupBy("value").agg(
         F.sum("is1").alias("d1"), F.sum(F.lit(1) - F.col("is1")).alias("d2")
     )
-    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = grouped.select(
-        F.sum("d1").over(wcum).alias("c1"), F.sum("d2").over(wcum).alias("c2")
+    cum = ordered_running(
+        grouped, "value", "value", cum_cols={"c1": "d1", "c2": "d2"}
+    ).select(
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
     )
     tot = cum.agg(F.max("c1").alias("n1"), F.max("c2").alias("n2"))
     num = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))

@@ -289,7 +289,9 @@ def test_round6c_scale_pins(q):
     assert_max_shuffles(q("q_partition_checksums"), 1)
     assert_max_shuffles(q("q_benford_audit"), 3)
     assert_max_shuffles(q("q_jackknife_ci"), 2)
-    assert_max_shuffles(q("q_gini_concentration"), 2)
+    # q_gini_concentration moved from the 2-shuffle single-partition-
+    # window plan to the range-bucket gear (round 7) — its pin now
+    # lives in test_no_single_partition_window_in_rank_queries.
     assert_max_shuffles(q("q_path_analysis"), 2)
     assert_max_shuffles(q("q_knn_classify"), 2)
     assert_max_shuffles(q("q_dsir_select"), 2)
@@ -306,3 +308,58 @@ def test_round6c_no_allpairs_in_pair_ops(q, spark, sf_dir):
         "q_mmr_rerank",
     ):
         assert "CartesianProduct" not in plan_nodes(q(name)), name
+
+
+def test_no_single_partition_window_in_rank_queries(q):
+    """Round-7 pin: the dimension-wide concentration analytics rank
+    through the range-bucket gear (operators/rangebucket) — no Window
+    anywhere in their plans may be fed by an Exchange SinglePartition,
+    because parts/customers grow linearly with the fact table and a
+    single-task global sort stops being distributed at 100 TB. The
+    extra exchanges the gear adds are bucket-stat-sized (<= n_buckets
+    rows) except the per-bucket window shuffle, which is exactly the
+    partitioned replacement for the single-partition funnel."""
+    from s3_rds_bq_airflow_spark.plans import assert_no_single_partition_window
+
+    for name in ("q_abc_analysis", "q_gini_concentration", "q_ks_drift"):
+        assert_no_single_partition_window(q(name))
+
+
+# Queries where a single-partition Window is DELIBERATE because the
+# ranked relation is bounded by something other than the data volume.
+# Every entry needs a reason; anything else in the catalog that ranks
+# through Exchange SinglePartition fails the sweep below.
+SINGLE_PARTITION_WINDOW_OK = {
+    # Day-granular duration domain — bounded by the observation
+    # calendar, not the row count (docstring: "value-domain-sized").
+    "q_survival_table",
+    # Daily series: one row per calendar day by construction.
+    "q_cusum_changepoint",
+    # Running min over the price-DISTINCT aggregate — the price value
+    # domain (cents), not the part rows (verdict-adjudicated r6).
+    "q_skyline_parts",
+    # percent_rank/cume_dist API demo, deliberately over the supplier
+    # dimension; its docstring names the grouped form as the fact-
+    # table scale shape.
+    "q_window_distribution",
+}
+
+
+def test_catalog_single_partition_window_allowlist(q, spark, sf_dir):
+    """Catalog-wide sweep: NO query outside the documented allowlist
+    may rank the data through an Exchange SinglePartition -> Window
+    funnel. This is the regression net behind the range-bucket gear —
+    a future query (or a Catalyst-visible rewrite of an old one) that
+    reintroduces a global ORDER BY window over a data-linked relation
+    fails here, at plan time, before it melts a 1000-executor run."""
+    from s3_rds_bq_airflow_spark.plans import single_partition_windows
+
+    offenders = {}
+    for name in QUERIES:
+        try:
+            spw = single_partition_windows(q(name))
+        except Exception:
+            continue  # non-plannable here (streaming-only shapes)
+        if spw and name not in SINGLE_PARTITION_WINDOW_OK:
+            offenders[name] = spw
+    assert not offenders, f"undocumented single-partition windows: {offenders}"
