@@ -43,6 +43,67 @@ HEADLINE = [
 ]
 
 
+# Pinned clean record for the driver's bench SF (sf0.1): round-6
+# best-of-3 on an idle box at this commit (docs/BENCH_NOTES.md). The
+# self-adjudication below compares against it.
+CLEAN_RECORD_S = 9.422
+CLEAN_RECORD_COMMIT = "3758220"
+# A hot reading more than 15% over the record triggers the old-commit
+# control; readings inside the band are normal variance.
+HOT_THRESHOLD = 1.15
+
+
+def run_noise_control(commit: str) -> float | None:
+    """Bench the pinned clean-record commit in a throwaway worktree.
+
+    The recurring failure mode of this box is host-side (microVM
+    neighbor) slowdown invisible to guest metrics: load_avg < 1, ~0%
+    steal, yet everything uniformly 1.5-3x slower (rounds 3-6,
+    docs/BENCH_NOTES.md). The decisive adjudication is a CONTROL: if
+    the UNCHANGED old code measures hot in the same window, the
+    inflation is environmental, not a regression. Returns the control
+    total in seconds, or None if the control could not run (shallow
+    clone, missing commit, ...) — adjudication is best-effort and must
+    never fail the bench itself.
+    """
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_ctl_")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_NOWAIT="1",
+        SPARK_GRAFT_BENCH_NO_CONTROL="1",
+    )
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--force", wt, commit],
+            cwd=repo,
+            check=True,
+            capture_output=True,
+        )
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=wt,
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=1800,
+        )
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
+    except Exception:
+        return None
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo,
+            check=False,
+            capture_output=True,
+        )
+
+
 def wait_for_idle(threshold: float = 1.0, max_wait_s: float = 600.0) -> float:
     """Block (bounded) until the 1-min load average drops below
     ``threshold``; return seconds actually waited.
@@ -123,21 +184,43 @@ def main() -> None:
         load_avg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_avg = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "load_avg": load_avg,
-                "load_avg_start": load_avg_start,
-                "waited_s": round(waited_s, 1),
-                "methodology": "per-query steady-state (2nd run timed; codegen warm)",
-            }
-        )
-    )
+    doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "load_avg": load_avg,
+        "load_avg_start": load_avg_start,
+        "waited_s": round(waited_s, 1),
+        "methodology": "per-query steady-state (2nd run timed; codegen warm)",
+    }
+    # Self-adjudication: a hot reading at the driver's bench SF
+    # carries its own host-noise proof. control_ratio ~ 1.0 means the
+    # box is cool and a hot HEAD total is a real regression;
+    # control_ratio tracking value/record means the UNCHANGED pinned
+    # commit is equally inflated — environmental, not code.
+    # SPARK_GRAFT_BENCH_RECORD_S overrides the pinned record (also the
+    # forced-hot demo hook); SPARK_GRAFT_BENCH_NO_CONTROL=1 disables
+    # (set inside control runs to terminate the recursion).
+    record_env = os.environ.get("SPARK_GRAFT_BENCH_RECORD_S")
+    record_s = float(record_env) if record_env else CLEAN_RECORD_S
+    at_record_sf = sf_val == 0.1 or record_env is not None
+    if (
+        at_record_sf
+        and total > HOT_THRESHOLD * record_s
+        and not os.environ.get("SPARK_GRAFT_BENCH_NO_CONTROL")
+    ):
+        # Free this session's executor threads before the control JVM
+        # starts — the control must not contend with the bench it
+        # adjudicates.
+        spark.stop()
+        control_s = run_noise_control(CLEAN_RECORD_COMMIT)
+        if control_s is not None:
+            doc["control_s"] = control_s
+            doc["control_commit"] = CLEAN_RECORD_COMMIT
+            doc["control_ratio"] = round(control_s / CLEAN_RECORD_S, 3)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
