@@ -27,7 +27,12 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
-SF = "/root/testdata/sf0.001"
+# Default: the small fixture. The round-7 scale step re-runs this file
+# with SPARK_GRAFT_SEARCHOPS_SF=/tmp/sf10 (500k docs) — the posting-
+# prefix cut, broadcast term list, TakeOrdered plan, and the bitwise
+# BM25 replay are scale-invariant claims, so the SAME assertions must
+# hold two decades up.
+SF = os.environ.get("SPARK_GRAFT_SEARCHOPS_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
