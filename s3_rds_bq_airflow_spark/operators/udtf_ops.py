@@ -2,11 +2,14 @@
 
 Completes the user-extensibility trio: scalar (pandas UDF), grouped
 aggregate (applyInPandas), and TABLE-valued (this module). Policy
-reminder: a UDTF runs row-at-a-time Python — anything expressible as
-``explode`` of a column expression (including this demo's sentence
+reminder: a UDTF's ``eval`` is per-row Python — anything expressible
+as ``explode`` of a column expression (including this demo's sentence
 split) should stay JVM-side; the UDTF exists for generators that need
-real Python per row (external tokenizers, parsers, model calls). The
-test pins the demo against its JVM-expression equivalent.
+real Python per row (external tokenizers, parsers, model calls).
+``useArrow=True`` keeps the exchange on the Arrow batch path
+(ArrowEvalPythonUDTF — the catalog-wide plan audit rejects the
+pickled BatchEvalPython operators). The test pins the demo against
+its JVM-expression equivalent.
 """
 
 from __future__ import annotations
@@ -14,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql.functions import lit, udtf
 
 
-@udtf(returnType="sentence_idx: int, sentence: string, n_tokens: int")
+@udtf(
+    returnType="sentence_idx: int, sentence: string, n_tokens: int",
+    useArrow=True,
+)
 class SentenceSplit:
     """Emit one row per sentence of ``text`` ('.'-delimited here —
     a real implementation would call a proper splitter)."""

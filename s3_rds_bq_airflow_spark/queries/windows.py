@@ -186,13 +186,35 @@ def q_window_first_last(spark, sf_dir):
 )
 def q_window_distribution(spark, sf_dir):
     """Distribution ranking (percent_rank / cume_dist) over a global
-    ordering — fine for a dimension table; on a fact table the global
-    ORDER BY single-partition window is the anti-pattern and the
-    grouped forms (q_ntile per segment) are the scale shape."""
-    w = W.orderBy("s_acctbal", "s_suppkey")
-    return t(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_acctbal",
-        F.percent_rank().over(w).alias("bal_percent_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
+    ordering. The ORDER BY key (s_acctbal, s_suppkey) is UNIQUE, so
+    every peer group is one row and the distribution functions reduce
+    to exact arithmetic on the global row number: percent_rank =
+    (i-1)/(n-1), cume_dist = i/n — each a single division of exact
+    integers, bit-portable. Since round 7 the row number comes from
+    ``operators/rangebucket.ordered_running`` (range buckets +
+    partitioned windows + broadcast offsets), so even this dimension
+    ranking never funnels through an Exchange SinglePartition — the
+    supplier dimension grows linearly with the fact table in TPC-H's
+    data model, and the oracle's PERCENT_RANK/CUME_DIST window
+    replays the identical values."""
+    from ..operators.rangebucket import ordered_running
+
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ranked = ordered_running(
+        sup, "s_acctbal", "s_suppkey", descending=False, index_col="_i"
+    )
+    n = sup.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            (
+                (F.col("_i") - F.lit(1)).cast("double")
+                / (F.col("_n") - F.lit(1)).cast("double")
+            ).alias("bal_percent_rank"),
+            (
+                F.col("_i").cast("double") / F.col("_n").cast("double")
+            ).alias("bal_cume_dist"),
+        )
     )

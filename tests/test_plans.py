@@ -338,28 +338,43 @@ SINGLE_PARTITION_WINDOW_OK = {
     # Running min over the price-DISTINCT aggregate — the price value
     # domain (cents), not the part rows (verdict-adjudicated r6).
     "q_skyline_parts",
-    # percent_rank/cume_dist API demo, deliberately over the supplier
-    # dimension; its docstring names the grouped form as the fact-
-    # table scale shape.
-    "q_window_distribution",
 }
 
 
 def test_catalog_single_partition_window_allowlist(q, spark, sf_dir):
-    """Catalog-wide sweep: NO query outside the documented allowlist
-    may rank the data through an Exchange SinglePartition -> Window
-    funnel. This is the regression net behind the range-bucket gear —
-    a future query (or a Catalyst-visible rewrite of an old one) that
-    reintroduces a global ORDER BY window over a data-linked relation
-    fails here, at plan time, before it melts a 1000-executor run."""
-    from s3_rds_bq_airflow_spark.plans import single_partition_windows
+    """Catalog-wide sweep, one plan build per query, two audits:
 
-    offenders = {}
+    1. NO query outside the documented allowlist may rank the data
+       through an Exchange SinglePartition -> Window funnel — the
+       regression net behind the range-bucket gear. A future query
+       (or a Catalyst-visible rewrite of an old one) that
+       reintroduces a global ORDER BY window over a data-linked
+       relation fails here, at plan time, before it melts a
+       1000-executor run.
+    2. NO query anywhere may plan a row-at-a-time Python UDF
+       (BatchEvalPython / PythonUDF outside Arrow). The engine's
+       Python escape hatches are exclusively Arrow-batched
+       (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) —
+       a 10-100x throughput cliff separates the two."""
+    from s3_rds_bq_airflow_spark.plans import single_partition_windows
+    from s3_rds_bq_airflow_spark.plans.inspect import plan_nodes
+
+    spw_offenders = {}
+    udf_offenders = {}
     for name in QUERIES:
         try:
-            spw = single_partition_windows(q(name))
+            df = q(name)
+            spw = single_partition_windows(df)
+            nodes = plan_nodes(df)
         except Exception:
             continue  # non-plannable here (streaming-only shapes)
         if spw and name not in SINGLE_PARTITION_WINDOW_OK:
-            offenders[name] = spw
-    assert not offenders, f"undocumented single-partition windows: {offenders}"
+            spw_offenders[name] = spw
+        if any("BatchEvalPython" in n for n in nodes):
+            udf_offenders[name] = [n for n in nodes if "BatchEvalPython" in n]
+    assert not spw_offenders, (
+        f"undocumented single-partition windows: {spw_offenders}"
+    )
+    assert not udf_offenders, (
+        f"row-at-a-time Python UDFs in plans: {udf_offenders}"
+    )
