@@ -259,3 +259,46 @@ def test_widening_is_symmetric_and_lossless_for_integers(a, b):
             pass  # float widening is documented lossy-precision, never NULL
         else:
             assert _INT_MAX[type(w_ab).__name__] >= top
+
+
+# ---- ordered_running (operators/rangebucket) ------------------------
+
+ranked_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),     # id (tiebreak)
+        st.integers(min_value=-1000, max_value=1000),   # value (ties likely)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@SETTINGS
+@given(data=ranked_rows, descending=st.booleans(), n_buckets=st.sampled_from([2, 3, 16]))
+def test_ordered_running_equals_global_window(spark, data, descending, n_buckets):
+    """The range-bucket gear must be bit-identical to the
+    single-partition global window on ARBITRARY inputs — heavy ties,
+    negatives, bucket counts above the distinct-value count, both
+    directions. (The fixed-dataset oracles prove it on real tables;
+    this proves the algebra has no tie/boundary hole.)"""
+    from s3_rds_bq_airflow_spark.operators.rangebucket import ordered_running
+
+    df = spark.createDataFrame(data, "id long, v long")
+    got = {
+        r["id"]: (int(r["cum"]), r["i"])
+        for r in ordered_running(
+            df,
+            "v",
+            "id",
+            descending=descending,
+            n_buckets=n_buckets,
+            cum_col="cum",
+            index_col="i",
+        ).collect()
+    }
+    order = sorted(data, key=lambda r: ((-r[1] if descending else r[1]), r[0]))
+    cum = 0
+    for i, (rid, val) in enumerate(order, start=1):
+        cum += val
+        assert got[rid] == (cum, i), (rid, descending, n_buckets)
