@@ -219,7 +219,15 @@ def main() -> None:
         if control_s is not None:
             doc["control_s"] = control_s
             doc["control_commit"] = CLEAN_RECORD_COMMIT
-            doc["control_ratio"] = round(control_s / CLEAN_RECORD_S, 3)
+            doc["control_sf"] = sf_val
+            # control_ratio divides by the sf0.1 pinned record, so it
+            # is only meaningful when the control itself ran at sf0.1
+            # (a SPARK_GRAFT_BENCH_RECORD_S override at another SF
+            # still records control_s — compare it to `value` directly
+            # — but a ratio against the wrong-SF record would be
+            # noise; round-7 advisor finding).
+            if sf_val == 0.1:
+                doc["control_ratio"] = round(control_s / CLEAN_RECORD_S, 3)
     print(json.dumps(doc))
 
 

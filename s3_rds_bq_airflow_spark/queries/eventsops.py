@@ -592,15 +592,36 @@ def cooccurrence_recommendations(purchases, targets, recent_n=50):
     against it, ownership anti-joined out BEFORE ranking, top-5 per
     user on (score DESC, item).
 
-    ``recent_n`` (default 50) applies :func:`cap_recent_items` before
-    the pairing self-join — the default gear; ``None`` is the uncapped
-    exact mode that the DuckDB oracle replays. The two gears agree
-    whenever every user owns at most ``recent_n`` distinct items
-    (true of every verification fixture: max 25 at sf0.1).
+    ``recent_n`` (default 50) applies the recent-N cap to the PAIRING
+    and candidate-SEEDING sides only — the quadratic/fanout stages;
+    ``None`` is the uncapped exact mode that the DuckDB oracle
+    replays. Ownership EXCLUSION always anti-joins against the FULL
+    distinct per-user ownership: it is an equi-join bounded linearly
+    by distinct (user, item) rows, so capping it would buy no scale
+    headroom while changing the semantics — a power user with >N
+    items must never be recommended something they already own just
+    because the purchase fell outside their recent N (round-7 advisor
+    finding). The two gears agree whenever every user owns at most
+    ``recent_n`` distinct items (true of every verification fixture:
+    max 25 at sf0.1).
     """
     from pyspark.sql import Window as W
 
-    owned = cap_recent_items(purchases, recent_n)
+    owned_full = purchases.groupBy("user_id", "item").agg(
+        F.max("ts").alias("_last_ts")
+    )
+    if recent_n is not None:
+        wc = W.partitionBy("user_id").orderBy(
+            F.col("_last_ts").desc(), F.col("item")
+        )
+        owned = (
+            owned_full.withColumn("_rn", F.row_number().over(wc))
+            .where(F.col("_rn") <= recent_n)
+            .drop("_rn", "_last_ts")
+        )
+    else:
+        owned = owned_full.drop("_last_ts")
+    owned_full = owned_full.drop("_last_ts")
     a, b = owned.alias("a"), owned.alias("b")
     cooc = (
         a.join(
@@ -615,7 +636,7 @@ def cooccurrence_recommendations(purchases, targets, recent_n=50):
         owned.join(targets, "user_id")
         .join(cooc, "item")
         .join(
-            owned.select(
+            owned_full.select(
                 F.col("user_id").alias("user_id"),
                 F.col("item").alias("rec_item"),
             ),
@@ -686,8 +707,9 @@ def q_cooccurrence_recs(spark, sf_dir):
     preserves per-user cardinality). The matrix itself is
     item-pair-sized (vocabulary^2 worst case, co-occurrence-sparse in
     practice); candidate generation is an equi-join of the target
-    users' items against it, ownership excluded with an anti-join
-    BEFORE ranking."""
+    users' items against it, ownership excluded BEFORE ranking with
+    an anti-join against the FULL distinct ownership (linear, so the
+    cap never re-recommends an owned-but-not-recent item)."""
     ev = t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id",

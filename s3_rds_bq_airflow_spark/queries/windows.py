@@ -209,10 +209,16 @@ def q_window_distribution(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_acctbal",
-            (
+            # n=1 guard: PERCENT_RANK is defined as 0.0 for a 1-row
+            # partition, while a bare (i-1)/(n-1) would NULL out on
+            # the zero divisor (round-7 advisor finding).
+            F.when(
+                F.col("_n") > 1,
                 (F.col("_i") - F.lit(1)).cast("double")
-                / (F.col("_n") - F.lit(1)).cast("double")
-            ).alias("bal_percent_rank"),
+                / (F.col("_n") - F.lit(1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bal_percent_rank"),
             (
                 F.col("_i").cast("double") / F.col("_n").cast("double")
             ).alias("bal_cume_dist"),

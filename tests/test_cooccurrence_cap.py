@@ -70,6 +70,28 @@ def test_uncapped_mode_unbounded(spark):
     assert cap_recent_items(df, None).count() == 200
 
 
+def test_anti_join_uses_full_ownership(spark):
+    """Round-8 fix (round-7 advisor finding): ownership exclusion must
+    anti-join against the FULL distinct ownership, not the recent-N
+    capped set — a power user owning an item OUTSIDE their recent 50
+    must never be recommended it. Plant exactly that: user 99 owns
+    items 0..199 (recent 50 = 150..199); user 1 co-purchased items
+    {10, 199}, so item 199 (inside 99's recent set) pulls candidate
+    rec_item=10 — which user 99 already owns, outside their recent N.
+    """
+    rows = [(99, i, BASE + dt.timedelta(seconds=i)) for i in range(200)]
+    rows += [
+        (1, 10, BASE + dt.timedelta(seconds=1)),
+        (1, 199, BASE + dt.timedelta(seconds=2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item long, ts timestamp")
+    targets = df.select("user_id").distinct().where(F.col("user_id") == 99)
+    recs = cooccurrence_recommendations(df, targets, recent_n=50).collect()
+    assert all(r["rec_item"] != 10 for r in recs), recs
+    # And in this fixture item 10 was user 99's ONLY candidate.
+    assert recs == []
+
+
 def test_gears_agree_under_cap(spark):
     """Capped and uncapped recommendations are identical when every
     user's history fits under the cap (the driver-fixture situation:

@@ -1,8 +1,11 @@
-"""q_fuzzy_match_blocked: FastSS deletion-neighborhood blocking.
-Pins each edit-distance-1 case (substitution / insertion / deletion /
-exact dup) on crafted names, the far-pair exclusion, and the lossless
-property of the blocking against a brute-force Python DP over random
-strings."""
+"""q_fuzzy_match_blocked: FastSS deletion-neighborhood blocking,
+round-8 dedupe-first form. Pins each edit-distance-1 case
+(substitution / insertion / deletion / exact-dup family) on crafted
+names, the far-pair exclusion, the lossless property of the uncapped
+blocking against a brute-force Python DP over random strings, the
+m=200 clone-family bound (ONE output row, arithmetic pair count), and
+the variant-df cap gear.
+"""
 
 from __future__ import annotations
 
@@ -12,6 +15,7 @@ import random
 import pytest
 
 import __spark_entry__ as entrymod
+from s3_rds_bq_airflow_spark.queries.dedup import fuzzy_match_families
 
 
 def _lev(a: str, b: str) -> int:
@@ -30,55 +34,95 @@ def _write_customers(spark, tmp_path_factory, names):
     spark.createDataFrame(rows, ["c_custkey", "c_name"]).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(d, "customer.parquet"))
-    return d, {i * 40: n for i, n in enumerate(names)}
+    return d
+
+
+def _names_df(spark, names):
+    return spark.createDataFrame([(n,) for n in names], ["name"])
 
 
 def test_each_edit_kind(spark, tmp_path_factory):
     names = ["abcd", "abzd", "abd", "xabcd", "abcd", "wxyz"]
-    d, _ = _write_customers(spark, tmp_path_factory, names)
+    d = _write_customers(spark, tmp_path_factory, names)
     got = {
-        (r["id_a"], r["id_b"]): r["dist"]
+        (r["name_a"], r["name_b"]): (r["cnt_a"], r["cnt_b"], r["dist"], r["n_pairs"])
         for r in entrymod.queries()["q_fuzzy_match_blocked"](spark, d).collect()
     }
     assert got == {
-        (0, 40): 1,  # substitution abcd/abzd
-        (0, 80): 1,  # deletion abcd/abd
-        (0, 120): 1,  # insertion abcd/xabcd
-        (0, 160): 0,  # exact duplicate
-        (40, 80): 1,  # abzd/abd is itself one deletion apart
-        (40, 160): 1,
-        (80, 160): 1,
-        (120, 160): 1,
+        ("abcd", "abzd"): (2, 1, 1, 2),  # substitution
+        ("abcd", "abd"): (2, 1, 1, 2),  # deletion
+        ("abcd", "xabcd"): (2, 1, 1, 2),  # insertion
+        ("abd", "abzd"): (1, 1, 1, 1),  # one deletion apart
+        ("abcd", "abcd"): (2, 2, 0, 1),  # exact-dup family of 2
     }
 
 
-def test_blocking_is_lossless_vs_bruteforce(spark, tmp_path_factory):
+def test_blocking_is_lossless_vs_bruteforce(spark):
+    """Uncapped gear (df_cap=None): every distinct-name pair within
+    one edit is found — the FastSS completeness property."""
     rng = random.Random(7)
     alpha = "abcde"
     names = [
         "".join(rng.choice(alpha) for _ in range(rng.randint(3, 8))) for _ in range(60)
     ]
-    d, by_id = _write_customers(spark, tmp_path_factory, names)
     got = {
-        (r["id_a"], r["id_b"])
-        for r in entrymod.queries()["q_fuzzy_match_blocked"](spark, d).collect()
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_match_families(_names_df(spark, names), df_cap=None).collect()
+        if r["dist"] == 1
     }
-    ids = sorted(by_id)
+    uniq = sorted(set(names))
     want = {
         (x, y)
-        for i, x in enumerate(ids)
-        for y in ids[i + 1 :]
-        if _lev(by_id[x], by_id[y]) <= 1
+        for i, x in enumerate(uniq)
+        for y in uniq[i + 1 :]
+        if _lev(x, y) == 1
     }
     assert got == want
 
 
+def test_clone_family_bounded(spark, tmp_path_factory):
+    """The round-7 design-weak spot, closed: m=200 verbatim clones
+    produce ONE family row with n_pairs = 200*199/2 arithmetic — not
+    m^2 = 39,800 pair rows through the variant join."""
+    names = ["clone"] * 200 + ["clonx", "other"]
+    d = _write_customers(spark, tmp_path_factory, names)
+    rows = entrymod.queries()["q_fuzzy_match_blocked"](spark, d).collect()
+    assert len(rows) == 2  # the family row + the clone/clonx match
+    by_pair = {(r["name_a"], r["name_b"]): r for r in rows}
+    fam = by_pair[("clone", "clone")]
+    assert (fam["cnt_a"], fam["cnt_b"], fam["dist"]) == (200, 200, 0)
+    assert fam["n_pairs"] == 200 * 199 // 2
+    cross = by_pair[("clone", "clonx")]
+    assert (cross["cnt_a"], cross["cnt_b"], cross["dist"], cross["n_pairs"]) == (
+        200,
+        1,
+        1,
+        200,
+    )
+
+
+def test_variant_df_cap_gears(spark):
+    """Default gear drops variant keys hotter than the cap; the
+    lossless gear keeps them. 'ab'/'cb'/'db' share ONLY the deletion
+    variant 'b' (df=3), so df_cap=2 blocks all three pairs."""
+    names = ["ab", "cb", "db"]
+    capped = fuzzy_match_families(_names_df(spark, names), df_cap=2).collect()
+    assert capped == []
+    lossless = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_match_families(_names_df(spark, names), df_cap=None).collect()
+    }
+    assert lossless == {("ab", "cb"), ("ab", "db"), ("cb", "db")}
+
+
 def test_sf0001_matches_digit_structure(spark):
     """On the shipped data every reported pair must differ in exactly
-    <=1 character of the Customer#%09d name."""
+    <=1 character of the Customer#%09d name, and n_pairs must equal
+    the multiplicity product (all counts 1 on unique TPC-H names)."""
     rows = entrymod.queries()["q_fuzzy_match_blocked"](
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows, "expected at least one near-match pair"
     for r in rows:
         assert _lev(r["name_a"], r["name_b"]) == r["dist"] <= 1
+        assert r["n_pairs"] == r["cnt_a"] * r["cnt_b"] == 1

@@ -306,6 +306,7 @@ def test_round6c_no_allpairs_in_pair_ops(q, spark, sf_dir):
         "q_containment_dedup",
         "q_cooccurrence_recs",
         "q_mmr_rerank",
+        "q_fuzzy_match_blocked",
     ):
         assert "CartesianProduct" not in plan_nodes(q(name)), name
 
@@ -341,6 +342,13 @@ SINGLE_PARTITION_WINDOW_OK = {
 }
 
 
+# Queries allowed to raise during the catalog plan sweep. EMPTY by
+# design: every declared query currently builds a plannable DataFrame
+# at the test SF. A query that starts throwing lands in the sweep's
+# assertion (named), instead of silently dropping out of both audits.
+EXPECTED_PLAN_SKIPS: set[str] = set()
+
+
 def test_catalog_single_partition_window_allowlist(q, spark, sf_dir):
     """Catalog-wide sweep, one plan build per query, two audits:
 
@@ -361,17 +369,27 @@ def test_catalog_single_partition_window_allowlist(q, spark, sf_dir):
 
     spw_offenders = {}
     udf_offenders = {}
+    skipped = set()
     for name in QUERIES:
         try:
             df = q(name)
             spw = single_partition_windows(df)
             nodes = plan_nodes(df)
         except Exception:
-            continue  # non-plannable here (streaming-only shapes)
+            # A query that stops planning must not silently drop out
+            # of the audits (round-7 advisor finding): every skip is
+            # asserted against the documented expected-skip set below
+            # (currently EMPTY — all 259 catalog queries plan).
+            skipped.add(name)
+            continue
         if spw and name not in SINGLE_PARTITION_WINDOW_OK:
             spw_offenders[name] = spw
         if any("BatchEvalPython" in n for n in nodes):
             udf_offenders[name] = [n for n in nodes if "BatchEvalPython" in n]
+    assert skipped == EXPECTED_PLAN_SKIPS, (
+        f"queries silently excluded from the plan audits: "
+        f"{sorted(skipped ^ EXPECTED_PLAN_SKIPS)}"
+    )
     assert not spw_offenders, (
         f"undocumented single-partition windows: {spw_offenders}"
     )
