@@ -80,6 +80,32 @@ def test_blocking_is_lossless_vs_bruteforce(spark):
     assert got == want
 
 
+def test_pair_mass_equals_idlevel_bruteforce(spark):
+    """The arithmetic n_pairs column carries exactly the old id-level
+    semantics: over a random MULTISET of names (duplicates planted),
+    sum(n_pairs) must equal the brute-force count of id pairs at
+    edit distance <= 1 — family rows account for within-clone pairs,
+    cross rows for cnt_a*cnt_b, nothing double- or under-counted."""
+    rng = random.Random(13)
+    alpha = "abc"
+    base = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(2, 5)))
+        for _ in range(25)
+    ]
+    names = [rng.choice(base) for _ in range(120)]  # heavy duplication
+    got = sum(
+        r["n_pairs"]
+        for r in fuzzy_match_families(_names_df(spark, names), df_cap=None).collect()
+    )
+    want = sum(
+        1
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert got == want
+
+
 def test_clone_family_bounded(spark, tmp_path_factory):
     """The round-7 design-weak spot, closed: m=200 verbatim clones
     produce ONE family row with n_pairs = 200*199/2 arithmetic — not
