@@ -244,6 +244,14 @@ def q_dedup_simhash(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# Salt width for the q_ngram_jaccard pair join: splits each language's
+# pair workload across this many tasks (lang cardinality is a handful,
+# so the unsalted equi-join serializes per-language work into single
+# straggler tasks at scale). Side B's replication factor — keep it at
+# a small power of two; the pair SPACE is unchanged.
+_NGRAM_JACCARD_SALT = 32
+
+
 @query(
     "q_ngram_jaccard",
     oracle="""
@@ -269,7 +277,19 @@ def q_ngram_jaccard(spark, sf_dir):
     """Exact token-set Jaccard with language blocking (the verify
     stage of near-dup pipelines, oracle-checked end-to-end). Blocking
     (same lang, sampled ids) keeps the pair space linear-ish — the
-    production analogue is LSH buckets as the blocking key."""
+    production analogue is LSH buckets as the blocking key.
+
+    Scale (round-8 salting fix): `lang` alone has a HANDFUL of
+    values, so the bare equi-join funnels each language's entire pair
+    workload into ONE task (observed at sf10: a single straggler task
+    holding the whole stage for 45+ minutes while 31 cores idled).
+    The join key is therefore salted — side A takes a deterministic
+    hash bucket of its doc_id, side B is replicated across all
+    ``_NGRAM_JACCARD_SALT`` buckets — which emits every (a, b) pair
+    exactly once (A's bucket is a function of a.doc_id) while
+    splitting each language across SALT parallel tasks. Replication
+    multiplies the (sampled, linear) build side by SALT, never the
+    quadratic pair space; output and oracle are untouched."""
     docs = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 20 == 0)
@@ -285,13 +305,22 @@ def q_ngram_jaccard(spark, sf_dir):
             ).alias("grams"),
         )
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
+    a = docs.withColumn(
+        "_salt", F.pmod(F.hash("doc_id"), F.lit(_NGRAM_JACCARD_SALT))
+    ).alias("a")
+    b = docs.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_NGRAM_JACCARD_SALT - 1)))
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
     jac = inter.cast("double") / union
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),

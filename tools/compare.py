@@ -84,7 +84,15 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from s3_rds_bq_airflow_spark.session import get_spark
 
-    spark = get_spark("compare-oracle")
+    # O(n)-output queries (e.g. q_nearest_supplier: one row per
+    # supplier) overflow the stock 1g driver.maxResultSize when the
+    # harness collects them for comparison at sf1/sf10 replica scale.
+    # That is a COLLECTION limit of this local gate, not an engine
+    # plan property — production sinks write distributed. 8g covers
+    # the largest O(n) result at sf10 (~1.3 GiB serialized).
+    spark = get_spark(
+        "compare-oracle", extra_conf={"spark.driver.maxResultSize": "8g"}
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(args.sf, f"{t}.parquet")
