@@ -286,6 +286,76 @@ def single_partition_windows(df: DataFrame) -> list[int]:
     return flagged
 
 
+# Attribute self-comparison in a join condition: `name#12 < name#98`
+# (or <=) with the SAME base name on both sides — the canonical
+# "emit each unordered pair once" idiom of a pair-producing
+# self-join. Different base names (as-of ts < end_ts, range joins)
+# do not match.
+_PAIR_CONDITION = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_]*)#\d+L?\s*<=?\s*\1#\d+L?"
+)
+
+
+def pair_self_joins(df: DataFrame) -> list[dict]:
+    """Pair-producing self-joins in the optimized plan, with their
+    blocking keys — the round-8 straggler audit surface.
+
+    A join node counts when its Join condition compares two
+    attributes of the SAME base name with ``<``/``<=`` (the
+    ``a.id < b.id`` emit-each-pair-once idiom). For each, returns
+    ``{"node", "name", "keys", "pair_cols", "salted"}`` where
+    ``keys`` are the equi-join key base names (the blocking key) and
+    ``salted`` is True when any key follows the ``_salt`` convention.
+    A pair join whose blocking key has only a handful of distinct
+    values and is NOT salted serializes each block's quadratic pair
+    workload into one task (q_ngram_jaccard at sf10: one 45-minute
+    straggler) — the sweep in tests/test_plans.py holds every
+    detection to salted-or-allowlisted."""
+    text = formatted_plan(df)
+    out: list[dict] = []
+    cur_id: int | None = None
+    cur_name = ""
+    keys: list[str] = []
+    cond: str | None = None
+
+    def flush():
+        if cur_id is None or "Join" not in cur_name or not cond:
+            return
+        pair_cols = sorted({m.group(1) for m in _PAIR_CONDITION.finditer(cond)})
+        if not pair_cols:
+            return
+        out.append(
+            {
+                "node": cur_id,
+                "name": cur_name,
+                "keys": list(keys),
+                "pair_cols": pair_cols,
+                "salted": any("salt" in k.lower() for k in keys),
+            }
+        )
+
+    for line in text.splitlines():
+        m = re.match(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9 ]*)", line)
+        if m:
+            flush()
+            cur_id, cur_name = int(m.group(1)), m.group(2).strip()
+            keys, cond = [], None
+            continue
+        mk = re.match(r"^Left keys \[\d+\]\s*:\s*\[([^\]]*)\]", line.strip())
+        if mk:
+            keys = [
+                re.sub(r"#\d+L?$", "", k.strip())
+                for k in mk.group(1).split(",")
+                if k.strip()
+            ]
+            continue
+        mc = re.match(r"^Join condition\s*:\s*(.+)$", line.strip())
+        if mc:
+            cond = mc.group(1)
+    flush()
+    return out
+
+
 def assert_no_single_partition_window(df: DataFrame) -> None:
     assert not single_partition_windows(df), (
         f"plan ranks through a single-partition Window:\n{formatted_plan(df)}"

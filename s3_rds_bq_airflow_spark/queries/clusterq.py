@@ -14,7 +14,7 @@ from pyspark.sql import Window as W, functions as F
 from ..operators.cluster import connected_components
 from ..operators.dedup import normalize_text
 from .registry import query
-from ._util import t
+from ._util import pair_salt_width, t
 from .textops import NORMALIZE_SQL
 
 
@@ -88,15 +88,91 @@ def q_dedup_clusters_star(spark, sf_dir):
     return _with_sizes(star_contraction_components(nodes, edges))
 
 
+# q_label_propagation fixture bounds (the round-8 straggler lesson,
+# applied to the fixture that taught it): the clique-union edges come
+# from a self-join blocked on (c_nationkey, c_mktsegment) — 125
+# distinct values, so the bare equi-join confines each block's
+# QUADRATIC pair workload to one task, and the `% 7` node filter
+# grows linearly with SF so edges grow ~100x per decade. Two bounds:
+# a deterministic bottom-k-by-md5 node cap per block (replayed in the
+# DuckDB oracle — md5 of the decimal custkey string is portable) so
+# edges stop growing quadratically in SF, and a salted expansion join
+# (the q_ngram_jaccard pattern) so each block's remaining pair work
+# spreads across `pair_salt_width` tasks. node_cap=None is the
+# uncapped proof gear (the fuzzy_match_families(df_cap=None)
+# discipline) — equivalence where the cap doesn't bite is pinned in
+# tests/test_lpa_fixture.py.
+_LPA_NODE_CAP = 256
+
+
+def lpa_clique_fixture(spark, sf_dir, *, node_cap=_LPA_NODE_CAP, salt=None):
+    """(nodes, edges) for the clique-union LPA fixture: every 7th
+    customer, fully linked within (nation, segment) blocks, nodes per
+    block bounded by a deterministic bottom-``node_cap``-by-md5 cap.
+
+    With the cap, total edges are <= 125 * cap*(cap-1)/2 ~ 4.1M at
+    ANY scale factor (flat once blocks saturate); without it they grow
+    quadratically in SF. The salted pair join emits every (a, b) pair
+    exactly once (A's salt is a function of a.c_custkey) while
+    splitting each block's pair work across ``salt`` tasks."""
+    if salt is None:
+        salt = pair_salt_width(spark)
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+    return clique_fixture_from(c, node_cap=node_cap, salt=salt)
+
+
+def clique_fixture_from(c, *, node_cap, salt):
+    """Core of `lpa_clique_fixture` over an explicit (c_custkey,
+    c_nationkey, c_mktsegment) frame — split out so the cap-bites and
+    pair-exactly-once properties are pinnable on synthetic blocks
+    bigger than any one SF's (tests/test_lpa_fixture.py)."""
+    if node_cap is not None:
+        w = W.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+            F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+        )
+        c = (
+            c.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= node_cap)
+            .drop("_rk")
+        )
+    a = c.withColumn("_salt", F.pmod(F.hash("c_custkey"), F.lit(salt))).alias("a")
+    b = c.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a._salt") == F.col("b._salt"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    return c.select(F.col("c_custkey").alias("id")), edges
+
+
 @query(
     "q_label_propagation",
-    oracle="""
+    oracle=f"""
+    WITH capped AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment
+        FROM (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY MD5(CAST(c_custkey AS VARCHAR)), c_custkey
+                   ) AS rk
+            FROM customer WHERE c_custkey % 7 = 0
+        )
+        WHERE rk <= {_LPA_NODE_CAP}
+    )
     SELECT c_custkey,
            MIN(c_custkey) OVER (
                PARTITION BY c_nationkey, c_mktsegment
            ) AS label
-    FROM customer
-    WHERE c_custkey % 7 = 0
+    FROM capped
     """,
 )
 def q_label_propagation(spark, sf_dir):
@@ -106,24 +182,18 @@ def q_label_propagation(spark, sf_dir):
     (nation, segment) — where LPA's fixpoint is provably the minimum
     member id per clique (round 1: every vote set is the clique's
     distinct labels, tie-break picks the min; round 2: stable). The
-    oracle states that closed form declaratively; equality proves the
-    vote / tie-break / convergence machinery. Community recovery on
-    non-clique planted graphs is pinned in tests/test_operators.py."""
+    oracle states that closed form declaratively over the SAME
+    deterministically capped node set (md5 bottom-k is portable
+    across engines); equality proves the vote / tie-break /
+    convergence machinery. Scale: see `lpa_clique_fixture` — capped
+    node blocks (edges flat in SF once blocks saturate) + salted
+    expansion join (no per-block straggler task). Community recovery
+    on non-clique planted graphs is pinned in tests/test_operators.py;
+    capped==uncapped equivalence in tests/test_lpa_fixture.py."""
     from ..operators.cluster import label_propagation
 
-    c = (
-        t(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") % 7 == 0)
-        .select("c_custkey", "c_nationkey", "c_mktsegment")
-    )
-    a, b = c.alias("a"), c.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
-    labels = label_propagation(c.select(F.col("c_custkey").alias("id")), edges)
+    nodes, edges = lpa_clique_fixture(spark, sf_dir)
+    labels = label_propagation(nodes, edges)
     return labels.select(F.col("id").alias("c_custkey"), "label")
 
 

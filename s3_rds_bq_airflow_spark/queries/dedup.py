@@ -18,7 +18,7 @@ from ..operators.dedup import (
     simhash_near_dup_pairs,
 )
 from .registry import query
-from ._util import t
+from ._util import pair_salt_width, t
 from .textops import NORMALIZE_SQL, ngram_list_sql
 
 
@@ -244,11 +244,15 @@ def q_dedup_simhash(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-# Salt width for the q_ngram_jaccard pair join: splits each language's
-# pair workload across this many tasks (lang cardinality is a handful,
-# so the unsalted equi-join serializes per-language work into single
-# straggler tasks at scale). Side B's replication factor — keep it at
-# a small power of two; the pair SPACE is unchanged.
+# Salt cap for the q_ngram_jaccard pair join: splits each language's
+# pair workload across up to this many tasks (lang cardinality is a
+# handful, so the unsalted equi-join serializes per-language work into
+# single straggler tasks at scale). The effective width comes from
+# `pair_salt_width(spark)` (round-9 advisor note: a fixed 32
+# replicated the build side 32x even where two cores were available);
+# side B's replication factor — the pair SPACE is unchanged and the
+# output is provably salt-invariant (tests/test_lpa_fixture.py pins
+# the identity for the shared salting pattern).
 _NGRAM_JACCARD_SALT = 32
 
 
@@ -305,11 +309,10 @@ def q_ngram_jaccard(spark, sf_dir):
             ).alias("grams"),
         )
     )
-    a = docs.withColumn(
-        "_salt", F.pmod(F.hash("doc_id"), F.lit(_NGRAM_JACCARD_SALT))
-    ).alias("a")
+    salt = pair_salt_width(spark, max_width=_NGRAM_JACCARD_SALT)
+    a = docs.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(salt))).alias("a")
     b = docs.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_NGRAM_JACCARD_SALT - 1)))
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter

@@ -607,21 +607,8 @@ def cooccurrence_recommendations(purchases, targets, recent_n=50):
     """
     from pyspark.sql import Window as W
 
-    owned_full = purchases.groupBy("user_id", "item").agg(
-        F.max("ts").alias("_last_ts")
-    )
-    if recent_n is not None:
-        wc = W.partitionBy("user_id").orderBy(
-            F.col("_last_ts").desc(), F.col("item")
-        )
-        owned = (
-            owned_full.withColumn("_rn", F.row_number().over(wc))
-            .where(F.col("_rn") <= recent_n)
-            .drop("_rn", "_last_ts")
-        )
-    else:
-        owned = owned_full.drop("_last_ts")
-    owned_full = owned_full.drop("_last_ts")
+    owned = cap_recent_items(purchases, recent_n)
+    owned_full = purchases.select("user_id", "item").distinct()
     a, b = owned.alias("a"), owned.alias("b")
     cooc = (
         a.join(

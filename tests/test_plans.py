@@ -342,6 +342,44 @@ SINGLE_PARTITION_WINDOW_OK = {
 }
 
 
+# Round-9 codification of the round-8 straggler lesson: every
+# pair-producing self-join (detected in the plan by its
+# `a.col < b.col` same-name join condition) must either salt its
+# blocking key (the q_ngram_jaccard pattern — `_salt` in the equi
+# keys) or appear here with a documented reason why the unsalted key
+# cannot serialize per-block pair work: blocking-key cardinality
+# scales with the data (each block stays small / blocks outnumber
+# tasks), or the joined relation itself is bounded by construction.
+# An unsalted pair join on a handful-cardinality key — lang, nation,
+# segment, ... — funnels each block's QUADRATIC workload into one
+# task (q_ngram_jaccard pre-fix: one 45-minute sf10 straggler while
+# 31 cores idled) and fails the sweep below.
+PAIR_JOIN_BLOCKING_OK = {
+    # Banded signature buckets: key cardinality scales with the
+    # corpus, per-bucket occupancy stays near-constant by design.
+    "q_dedup_minhash_lsh": "(band, sig) minhash bucket — cardinality ~ corpus",
+    "q_dedup_simhash": "15-bit band buckets (32768/band) — occupancy near-constant",
+    "q_image_ahash_neardup": "(band, bval) aHash band bucket — cardinality ~ corpus",
+    "q_embedding_neardup": "LSH hyperplane bucket — cardinality ~ corpus",
+    "q_semantic_dedup": "LSH bucket — cardinality ~ corpus",
+    "q_audio_constellation": "landmark hash — cardinality ~ corpus",
+    # Token/fingerprint-valued keys: vocabulary-sized, with explicit
+    # document-frequency caps bounding per-key occupancy.
+    "q_setsim_join": "prefix-token hash — vocab-sized; PPJoin prefix filter bounds candidates",
+    "q_winnow_overlap": "winnowing fingerprint — vocab-sized, df-capped",
+    "q_fuzzy_match_blocked": "deletion variant key — vocab-sized, df<=64 cap",
+    # Entity/graph keys whose cardinality scales with the data.
+    "q_triangle_counts": "adjacency on src — cardinality = node count",
+    "q_video_frame_dedup": "doc_id — cardinality ~ corpus; frames/doc bounded",
+    "q_entity_resolution": "(noun, brand) over DISTINCT records — saturates at vocab cap",
+    # Bucket-stat pair comparisons over a FIXED bucket range: the
+    # joined relation is n_buckets rows (config-sized), not data.
+    "q_ks_drift": "bucket-stat relation <= n_buckets rows",
+    "q_gini_concentration": "bucket-stat relation <= n_buckets rows",
+    "q_window_distribution": "bucket-stat relation <= n_buckets rows",
+}
+
+
 # Queries allowed to raise during the catalog plan sweep. EMPTY by
 # design: every declared query currently builds a plannable DataFrame
 # at the test SF. A query that starts throwing lands in the sweep's
@@ -363,29 +401,41 @@ def test_catalog_single_partition_window_allowlist(q, spark, sf_dir):
        (BatchEvalPython / PythonUDF outside Arrow). The engine's
        Python escape hatches are exclusively Arrow-batched
        (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) —
-       a 10-100x throughput cliff separates the two."""
+       a 10-100x throughput cliff separates the two.
+
+    3. Every pair-producing self-join must salt its blocking key or
+       carry a documented high-cardinality/bounded-domain reason in
+       PAIR_JOIN_BLOCKING_OK (the round-8 straggler lesson as a
+       regression net, round-9)."""
     from s3_rds_bq_airflow_spark.plans import single_partition_windows
-    from s3_rds_bq_airflow_spark.plans.inspect import plan_nodes
+    from s3_rds_bq_airflow_spark.plans.inspect import pair_self_joins, plan_nodes
 
     spw_offenders = {}
     udf_offenders = {}
+    pair_offenders = {}
     skipped = set()
     for name in QUERIES:
         try:
             df = q(name)
             spw = single_partition_windows(df)
             nodes = plan_nodes(df)
+            pairs = pair_self_joins(df)
         except Exception:
             # A query that stops planning must not silently drop out
             # of the audits (round-7 advisor finding): every skip is
             # asserted against the documented expected-skip set below
-            # (currently EMPTY — all 259 catalog queries plan).
+            # (currently EMPTY — all 262 catalog queries plan).
             skipped.add(name)
             continue
         if spw and name not in SINGLE_PARTITION_WINDOW_OK:
             spw_offenders[name] = spw
         if any("BatchEvalPython" in n for n in nodes):
             udf_offenders[name] = [n for n in nodes if "BatchEvalPython" in n]
+        unsalted = [p for p in pairs if not p["salted"]]
+        if unsalted and name not in PAIR_JOIN_BLOCKING_OK:
+            pair_offenders[name] = [
+                {"keys": p["keys"], "pair_cols": p["pair_cols"]} for p in unsalted
+            ]
     assert skipped == EXPECTED_PLAN_SKIPS, (
         f"queries silently excluded from the plan audits: "
         f"{sorted(skipped ^ EXPECTED_PLAN_SKIPS)}"
@@ -395,4 +445,45 @@ def test_catalog_single_partition_window_allowlist(q, spark, sf_dir):
     )
     assert not udf_offenders, (
         f"row-at-a-time Python UDFs in plans: {udf_offenders}"
+    )
+    assert not pair_offenders, (
+        "unsalted pair self-joins with undocumented blocking keys "
+        f"(salt them or add a reason to PAIR_JOIN_BLOCKING_OK): {pair_offenders}"
+    )
+
+
+def test_pair_join_detector_fires_on_unsalted_handful_key(spark, sf_dir):
+    """The blocking-key sweep's detector must actually see the
+    anti-pattern it polices: an UNSALTED pair self-join blocked on a
+    handful-cardinality key (the exact pre-fix q_ngram_jaccard /
+    q_label_propagation shape) is detected and reported unsalted;
+    the salted q_label_propagation edge build is detected AND
+    salted. The LPA result plan itself is lineage-cut by the
+    operator's localCheckpoint, so the fixture's edge frame is the
+    audit surface."""
+    from pyspark.sql import functions as F
+
+    from s3_rds_bq_airflow_spark.plans.inspect import pair_self_joins
+    from s3_rds_bq_airflow_spark.queries._util import t
+    from s3_rds_bq_airflow_spark.queries.clusterq import lpa_clique_fixture
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    bad = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(F.col("a.c_custkey"), F.col("b.c_custkey").alias("other"))
+    )
+    hits = pair_self_joins(bad)
+    assert hits and not hits[0]["salted"]
+    assert hits[0]["pair_cols"] == ["c_custkey"]
+    assert "c_nationkey" in hits[0]["keys"]
+
+    _, edges = lpa_clique_fixture(spark, sf_dir)
+    lpa_hits = pair_self_joins(edges)
+    assert lpa_hits and all(h["salted"] for h in lpa_hits), (
+        "the q_label_propagation edge build lost its salt"
     )
