@@ -435,6 +435,41 @@ _FUZZY_MOD = 40
 _FUZZY_VARIANT_DF_CAP = 64
 
 
+def fuzzy_variant_keys(names):
+    """Distinct-name deletion-variant rows (name, cnt, v) — the
+    blocking-key relation both the matcher and the cap diagnostic
+    share."""
+    n = names.groupBy("name").agg(F.count(F.lit(1)).alias("cnt"))
+    return n.select(
+        "name",
+        "cnt",
+        F.expr(
+            "explode(array_distinct(transform(sequence(0, length(name)), "
+            "i -> concat(substring(name, 1, i), substring(name, i + 2)))))"
+        ).alias("v"),
+    )
+
+
+def fuzzy_cap_stats(names, df_cap=_FUZZY_VARIANT_DF_CAP):
+    """Companion diagnostic for the capped gear (advisor round-8
+    item): ONE row (dropped_keys, total_keys) over the variant-df
+    aggregate, so adversarial/clone-heavy data that erodes the capped
+    gear's completeness is DETECTABLE instead of silent. On organic
+    data dropped_keys = 0; nonzero means switch to ``df_cap=None``
+    (the lossless proof gear) or raise the cap. A separate tiny
+    aggregate rather than an in-plan Observation because the matcher
+    self-joins the capped relation — a CollectMetrics node inside a
+    self-joined branch is duplicated by alias resolution and its
+    metrics row is no longer well-defined."""
+    key_df = fuzzy_variant_keys(names).groupBy("v").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    return key_df.agg(
+        F.sum((F.col("_df") > df_cap).cast("long")).alias("dropped_keys"),
+        F.count(F.lit(1)).alias("total_keys"),
+    )
+
+
 def fuzzy_match_families(names, df_cap=_FUZZY_VARIANT_DF_CAP):
     """Edit-distance-<=1 matching over a `name` column, DEDUPE-FIRST:
     collapse to distinct names with multiplicities BEFORE the FastSS
@@ -446,19 +481,16 @@ def fuzzy_match_families(names, df_cap=_FUZZY_VARIANT_DF_CAP):
     whose distinct-name document frequency exceeds the cap (the
     bounded default gear); ``df_cap=None`` is the lossless mode.
 
+    When the cap matters (adversarial/clone-heavy data), run
+    ``fuzzy_cap_stats`` alongside — it reports how many blocking keys
+    the cap dropped, making the bounded gear's losses detectable.
+
     Output: one row per matched name pair — (name_a, name_b, cnt_a,
     cnt_b, dist, n_pairs) where n_pairs = cnt_a*cnt_b for cross-name
     matches (dist=1) and cnt*(cnt-1)/2 for the within-family row
     (dist=0, emitted only when cnt > 1)."""
     n = names.groupBy("name").agg(F.count(F.lit(1)).alias("cnt"))
-    v = n.select(
-        "name",
-        "cnt",
-        F.expr(
-            "explode(array_distinct(transform(sequence(0, length(name)), "
-            "i -> concat(substring(name, 1, i), substring(name, i + 2)))))"
-        ).alias("v"),
-    )
+    v = fuzzy_variant_keys(names)
     if df_cap is not None:
         keep = (
             v.groupBy("v")

@@ -141,6 +141,25 @@ def test_variant_df_cap_gears(spark):
     assert lossless == {("ab", "cb"), ("ab", "db"), ("cb", "db")}
 
 
+def test_cap_stats_counts_dropped_keys(spark):
+    """fuzzy_cap_stats (advisor round-8 item): reports how many
+    blocking keys the df cap dropped, so capped-gear losses on
+    adversarial data are detectable. 'ab'/'cb'/'db' produce variants
+    {b, a, ab}/{b, c, cb}/{b, d, db} (FastSS keeps the identity
+    variant for insertion matching): 'b' (df=3) is dropped at
+    df_cap=2, the other six survive -> dropped=1 of total=7.
+    On benign data (distinct long names) dropped must be 0."""
+    from s3_rds_bq_airflow_spark.queries.dedup import fuzzy_cap_stats
+
+    row = fuzzy_cap_stats(_names_df(spark, ["ab", "cb", "db"]), df_cap=2).collect()[0]
+    assert (row["dropped_keys"], row["total_keys"]) == (1, 7)
+
+    benign = fuzzy_cap_stats(
+        _names_df(spark, ["abcdef", "abcdeg", "zzzzzz"])
+    ).collect()[0]
+    assert benign["dropped_keys"] == 0
+
+
 def test_sf0001_matches_digit_structure(spark):
     """On the shipped data every reported pair must differ in exactly
     <=1 character of the Customer#%09d name, and n_pairs must equal
