@@ -33,3 +33,8 @@ def test_bench_emits_one_json_line():
     assert all(isinstance(v, (int, float)) for v in doc["queries"].values())
     # total is the sum of the per-query timings (within rounding)
     assert abs(sum(doc["queries"].values()) - doc["value"]) < 0.1
+    # control_* keys are CONDITIONALLY present (only when the noise
+    # control ran, which only happens at the driver's sf0.1): on any
+    # other-SF override they must be absent, and consumers must index
+    # them with .get(). Documented contract — advisor round-8 note.
+    assert "control_ratio" not in doc and "control_s" not in doc
