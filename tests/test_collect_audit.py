@@ -1,0 +1,91 @@
+"""Catalog-wide audit of per-group materialization sites.
+
+`collect_list`/`collect_set` build a whole group's rows into ONE
+array on ONE executor — the only aggregate shape where a skewed or
+unbounded group becomes an executor OOM instead of just a slow task.
+At 100 TB every such site must have a structural bound on group
+payload: a config-sized domain, a fixed vector dimension, or an
+explicit distributed truncation BEFORE the collect (the
+q_inverted_index rn <= 8 discipline).
+
+This audit is the same pattern as PAIR_JOIN_BLOCKING_OK in
+test_plans.py (the round-8 salting lesson): every call site must
+carry a documented bound below; an undocumented new site fails the
+scan and forces the author to state the bound. Source-level rather
+than plan-level because boundedness is semantic (an ObjectHashAggregate
+node can't show WHY its groups are small).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "s3_rds_bq_airflow_spark"
+
+# file (relative to the package) -> {line-substring: bound reason}.
+# Keyed on a stable substring of the call line, not line numbers.
+COLLECT_SITES_OK = {
+    "operators/pq.py": {
+        'collect_list(F.struct("pos", "x"))': "group = one subvector's components; bounded by dsub (config)",
+    },
+    "operators/ivf.py": {
+        'collect_list(F.struct("pos", "x"))': "group = one vector's components; bounded by embedding dim",
+    },
+    "operators/histogram.py": {
+        'collect_list(F.struct("__bin", "__cnt"))': "group = histogram state; bounded by n_buckets (config); two sites (build + merge)",
+    },
+    "queries/scalar.py": {
+        'collect_list(F.struct("event_type", "cnt"))': "group = event_type domain (enum-sized)",
+    },
+    "queries/statsq.py": {
+        'collect_list(F.struct(F.col("event_type").alias("et"), "o1", "o2"))': "group = event_type domain (enum-sized)",
+    },
+    "queries/searchops.py": {
+        'collect_list("doc_id")': "posting prefix: rn <= _POSTING_PREFIX cut applied DISTRIBUTEDLY before the collect",
+    },
+    "queries/trainprep.py": {
+        'collect_set("split")': "group = split-label domain (<= 3 values)",
+        'collect_list(F.struct("idx", "para"))': "group = one document's paragraphs; bounded by doc length (a doc fits on an executor by the ingest contract)",
+    },
+    "queries/funnelq.py": {
+        'collect_list(F.struct(F.col("rn"), F.col("event_type")))': "group <= 3 structs: .where(rn <= 3) truncates distributedly BEFORE the collect (q_path_analysis)",
+    },
+}
+
+_CALL = re.compile(r"collect_(?:list|set)\(")
+
+
+def _call_sites():
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        for line in path.read_text().splitlines():
+            # a call site, not a mention in a comment/docstring
+            if _CALL.search(line) and not line.lstrip().startswith("#"):
+                if "collect_list" in line or "collect_set" in line:
+                    if re.search(r"collect_(list|set)\s*\(", line):
+                        yield rel, line.strip()
+
+
+def test_every_collect_site_documents_its_bound():
+    undocumented = []
+    for rel, line in _call_sites():
+        allowed = COLLECT_SITES_OK.get(rel, {})
+        if not any(key in line for key in allowed):
+            undocumented.append((rel, line))
+    assert not undocumented, (
+        "collect_list/collect_set without a documented group-payload "
+        f"bound (add to COLLECT_SITES_OK with the bound): {undocumented}"
+    )
+
+
+def test_audit_is_not_stale():
+    """Every documented site still exists — entries whose code was
+    removed or rewritten must leave the table, keeping it an audit
+    instead of an archive."""
+    sites = list(_call_sites())
+    for rel, allowed in COLLECT_SITES_OK.items():
+        for key in allowed:
+            assert any(r == rel and key in line for r, line in sites), (
+                f"stale audit entry: {rel} :: {key}"
+            )
