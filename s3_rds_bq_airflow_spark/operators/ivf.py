@@ -57,7 +57,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .similarity import cosine_exact, cosine_fast
+from .similarity import (
+    cosine_exact_vs,
+    cosine_fast,
+    cosine_fast_pre,
+    cosine_fast_vs,
+    query_norm_dec,
+    query_norm_double,
+)
 
 __all__ = ["ivf_fit", "ivf_assign", "ivf_topk"]
 
@@ -193,8 +200,22 @@ def ivf_assign(
             .withColumn("__sim", _ckey(_dot_exact("__xi", "cvec"), F.col("__cn2")))
         )
     else:
-        scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
-            "__sim", cosine_fast(F.col(vec_col), F.col("cvec"))
+        # norms hoisted: the row norm is computed ONCE per vector and
+        # reused across all |centroids| comparisons; centroid norms
+        # ride the broadcast side.
+        scored = (
+            embeddings.withColumn("__n", query_norm_double(F.col(vec_col)))
+            .crossJoin(
+                F.broadcast(
+                    centroids.withColumn("__cn", query_norm_double(F.col("cvec")))
+                )
+            )
+            .withColumn(
+                "__sim",
+                cosine_fast_pre(
+                    F.col(vec_col), F.col("cvec"), F.col("__n"), F.col("__cn")
+                ),
+            )
         )
     w = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid"))
     return (
@@ -232,15 +253,18 @@ def ivf_topk(
         )
     else:
         csim = cosine_fast(F.col("cvec"), F.col("_qvec"))
+    norm_of = query_norm_dec if exact else query_norm_double
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
         .select("cid", "_qvec", csim.alias("__csim"))
         .orderBy(F.col("__csim").desc(), F.col("cid"))
         .limit(n_probe)
-        .select("cid", "_qvec")
+        .select("cid", "_qvec", norm_of(F.col("_qvec")).alias("_qnorm"))
     )
     cands = assigned.join(F.broadcast(probe_cells), "cid")
-    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_qvec"))
+    cos = (cosine_exact_vs if exact else cosine_fast_vs)(
+        F.col(vec_col), F.col("_qvec"), F.col("_qnorm")
+    )
     return (
         cands.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .ivf import _ckey, _dot_exact, _quantize_long, _rebuild
-from .similarity import cosine_fast
+from .similarity import cosine_fast, cosine_fast_pre, query_norm_double
 
 __all__ = ["pq_fit", "pq_encode", "pq_adc_topk"]
 
@@ -69,8 +69,22 @@ def _assign(sub: DataFrame, codebook: DataFrame, id_col: str, exact: bool) -> Da
             "__sim", _ckey(_dot_exact("sv", "cvec"), F.col("__cn2"))
         )
     else:
-        scored = sub.join(F.broadcast(codebook), "m").withColumn(
-            "__sim", cosine_fast(F.col("sv"), F.col("cvec"))
+        # norms hoisted (the ivf_assign shape): subvector norm once
+        # per (id, m) row, codebook norms on the broadcast side.
+        scored = (
+            sub.withColumn("__n", query_norm_double(F.col("sv")))
+            .join(
+                F.broadcast(
+                    codebook.withColumn("__cn", query_norm_double(F.col("cvec")))
+                ),
+                "m",
+            )
+            .withColumn(
+                "__sim",
+                cosine_fast_pre(
+                    F.col("sv"), F.col("cvec"), F.col("__n"), F.col("__cn")
+                ),
+            )
         )
     w = W.partitionBy(id_col, "m").orderBy(F.col("__sim").desc(), F.col("cid"))
     return (

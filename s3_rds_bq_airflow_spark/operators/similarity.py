@@ -49,20 +49,153 @@ def _dot_double(a: Column, b: Column) -> Column:
 
 def cosine_exact(a: Column, b: Column) -> Column:
     """Deterministic cosine: exact decimal dots surfaced as double,
-    then IEEE sqrt/divide (bit-identical on any engine)."""
-    dot = _dot_dec(a, b).cast("double")
-    na = F.sqrt(_dot_dec(a, a).cast("double"))
-    nb = F.sqrt(_dot_dec(b, b).cast("double"))
-    return dot / (na * nb)
+    then IEEE sqrt/divide (bit-identical on any engine).
+
+    Single array traversal (round-9 perf): one `zip_with` emits the
+    (a*b, a*a, b*b) product triple per element and one `aggregate`
+    folds all three sums, with the cosine computed in the aggregate's
+    FINISH lambda — the accumulator there is a bound variable, so the
+    fold is never re-evaluated per referenced field (the naive
+    3x`_dot_dec` form re-traversed the arrays three times, and a
+    caller projecting the expression could not rely on subexpression
+    elimination across higher-order functions). Values are
+    bit-identical to the unfused form: each decimal partial sum is
+    exact (scale 16 preserved by the (38,16) accumulator, no
+    rounding), so traversal shape cannot change it, and the final
+    double expression `dot / (sqrt(na2) * sqrt(nb2))` keeps the exact
+    IEEE op sequence of the original."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            (x.cast("decimal(12,8)") * y.cast("decimal(12,8)")).alias("ab"),
+            (x.cast("decimal(12,8)") * x.cast("decimal(12,8)")).alias("aa"),
+            (y.cast("decimal(12,8)") * y.cast("decimal(12,8)")).alias("bb"),
+        ),
+    )
+    zero_d = F.lit(0).cast("decimal(38,16)")
+    return F.aggregate(
+        prods,
+        F.struct(zero_d.alias("ab"), zero_d.alias("aa"), zero_d.alias("bb")),
+        lambda acc, p: F.struct(
+            (acc["ab"] + p["ab"]).cast("decimal(38,16)").alias("ab"),
+            (acc["aa"] + p["aa"]).cast("decimal(38,16)").alias("aa"),
+            (acc["bb"] + p["bb"]).cast("decimal(38,16)").alias("bb"),
+        ),
+        lambda acc: acc["ab"].cast("double")
+        / (F.sqrt(acc["aa"].cast("double")) * F.sqrt(acc["bb"].cast("double"))),
+    )
+
+
+def cosine_exact_vs(vec: Column, qvec: Column, qnorm: Column) -> Column:
+    """`cosine_exact` for probe-style scans where one side is a
+    CONSTANT query vector: the query's norm is precomputed once on
+    the (broadcast) query side and passed in as ``qnorm`` =
+    sqrt(double(dec_dot(q, q))), so the per-row traversal folds only
+    the (vec*q, vec*vec) pair — the naive form recomputed the
+    64-multiply decimal query norm for every corpus row. Bit-identical
+    to `cosine_exact(vec, qvec)`: the hoisted qnorm is the same exact
+    decimal surfaced through the same cast/sqrt, and the final divide
+    keeps the `dot / (sqrt(n2) * qnorm)` = `dot / (na * nb)` shape."""
+    prods = F.zip_with(
+        vec,
+        qvec,
+        lambda x, y: F.struct(
+            (x.cast("decimal(12,8)") * y.cast("decimal(12,8)")).alias("ab"),
+            (x.cast("decimal(12,8)") * x.cast("decimal(12,8)")).alias("aa"),
+        ),
+    )
+    zero_d = F.lit(0).cast("decimal(38,16)")
+    return F.aggregate(
+        prods,
+        F.struct(zero_d.alias("ab"), zero_d.alias("aa")),
+        lambda acc, p: F.struct(
+            (acc["ab"] + p["ab"]).cast("decimal(38,16)").alias("ab"),
+            (acc["aa"] + p["aa"]).cast("decimal(38,16)").alias("aa"),
+        ),
+        lambda acc: acc["ab"].cast("double")
+        / (F.sqrt(acc["aa"].cast("double")) * qnorm),
+    )
+
+
+def query_norm_dec(qvec: Column) -> Column:
+    """sqrt(double(exact decimal dot(q, q))) — the hoisted query-side
+    norm consumed by `cosine_exact_vs` / `cosine_fast_vs`."""
+    return F.sqrt(_dot_dec(qvec, qvec).cast("double"))
 
 
 def cosine_fast(a: Column, b: Column) -> Column:
-    """Double-precision cosine — the throughput path (single pass,
-    no decimal overhead). Left-to-right aggregate order, so still
-    deterministic for a fixed array."""
-    return _dot_double(a, b) / (
-        F.sqrt(_dot_double(a, a)) * F.sqrt(_dot_double(b, b))
+    """Double-precision cosine — the throughput path (no decimal
+    overhead). Single fused traversal (same structure as
+    `cosine_exact`); each of the three sums accumulates left-to-right
+    over the same elements as the unfused form, so the doubles are
+    bit-identical and still deterministic for a fixed array."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            (x.cast("double") * y.cast("double")).alias("ab"),
+            (x.cast("double") * x.cast("double")).alias("aa"),
+            (y.cast("double") * y.cast("double")).alias("bb"),
+        ),
     )
+    return F.aggregate(
+        prods,
+        F.struct(
+            F.lit(0.0).alias("ab"), F.lit(0.0).alias("aa"), F.lit(0.0).alias("bb")
+        ),
+        lambda acc, p: F.struct(
+            (acc["ab"] + p["ab"]).alias("ab"),
+            (acc["aa"] + p["aa"]).alias("aa"),
+            (acc["bb"] + p["bb"]).alias("bb"),
+        ),
+        lambda acc: acc["ab"]
+        / (F.sqrt(acc["aa"]) * F.sqrt(acc["bb"])),
+    )
+
+
+def cosine_fast_vs(vec: Column, qvec: Column, qnorm: Column) -> Column:
+    """`cosine_fast` with the query norm hoisted (see
+    `cosine_exact_vs`); ``qnorm`` = sqrt(double dot(q, q))."""
+    prods = F.zip_with(
+        vec,
+        qvec,
+        lambda x, y: F.struct(
+            (x.cast("double") * y.cast("double")).alias("ab"),
+            (x.cast("double") * x.cast("double")).alias("aa"),
+        ),
+    )
+    return F.aggregate(
+        prods,
+        F.struct(F.lit(0.0).alias("ab"), F.lit(0.0).alias("aa")),
+        lambda acc, p: F.struct(
+            (acc["ab"] + p["ab"]).alias("ab"),
+            (acc["aa"] + p["aa"]).alias("aa"),
+        ),
+        lambda acc: acc["ab"] / (F.sqrt(acc["aa"]) * qnorm),
+    )
+
+
+def query_norm_double(qvec: Column) -> Column:
+    """sqrt(double dot(q, q)) — hoisted norm for `cosine_fast_vs`."""
+    return F.sqrt(_dot_double(qvec, qvec))
+
+
+def cosine_exact_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine_exact` for PAIR joins where both sides carry a
+    precomputed norm (`query_norm_dec`, stored on the persisted
+    bucketed frame): norms are computed once per VECTOR (linear) and
+    the per-pair traversal folds only the cross dot — the inline form
+    recomputed both 64-multiply decimal norms for every candidate
+    pair. Bit-identical: same exact decimal dots surfaced through the
+    same cast/sqrt, final divide keeps the `dot / (na * nb)` shape."""
+    return _dot_dec(a, b).cast("double") / (na * nb)
+
+
+def cosine_fast_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine_fast` with both norms precomputed per vector
+    (`query_norm_double`); see `cosine_exact_pre`."""
+    return _dot_double(a, b) / (na * nb)
 
 
 def brute_force_topk(
@@ -75,9 +208,18 @@ def brute_force_topk(
     exact: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine against a 1-row query DataFrame
-    (broadcast — the scan never shuffles)."""
-    q = F.broadcast(query_vec.select(F.col(vec_col).alias("_qvec")))
-    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_qvec"))
+    (broadcast — the scan never shuffles). The query norm is computed
+    ONCE on the broadcast side (`query_norm_*`) instead of per corpus
+    row — same doubles, one fewer per-row dot."""
+    norm_of = query_norm_dec if exact else query_norm_double
+    q = F.broadcast(
+        query_vec.select(F.col(vec_col).alias("_qvec")).withColumn(
+            "_qnorm", norm_of(F.col("_qvec"))
+        )
+    )
+    cos = (cosine_exact_vs if exact else cosine_fast_vs)(
+        F.col(vec_col), F.col("_qvec"), F.col("_qnorm")
+    )
     return (
         embeddings.crossJoin(q)
         .select(F.col(id_col), cos.alias("cosine"))
@@ -166,6 +308,9 @@ def lsh_ann_topk(
     q = query_vec.select(
         F.col(vec_col).alias("_qvec"),
         bucket_of(F.col(vec_col)).alias("_qbucket"),
+        (query_norm_dec if exact else query_norm_double)(F.col(vec_col)).alias(
+            "_qnorm"
+        ),
     )
     if multiprobe:
         probes = F.array(
@@ -175,10 +320,12 @@ def lsh_ann_topk(
                 for i in range(n_planes)
             ],
         )
-        q = q.select("_qvec", F.explode(probes).alias("_qbucket"))
+        q = q.select("_qvec", F.explode(probes).alias("_qbucket"), "_qnorm")
     q = F.broadcast(q)
     cands = bucketed.join(q, bucketed["_bucket"] == q["_qbucket"])
-    cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_qvec"))
+    cos = (cosine_exact_vs if exact else cosine_fast_vs)(
+        F.col(vec_col), F.col("_qvec"), F.col("_qnorm")
+    )
     return (
         cands.select(F.col(id_col), cos.alias("cosine"))
         .groupBy(id_col)
@@ -242,10 +389,15 @@ def knn_join(
         )
         src = corpus
     else:
+        norm_of = query_norm_dec if exact else query_norm_double
         p = F.broadcast(
-            probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvec"))
+            probes.select(
+                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvec")
+            ).withColumn("_pnorm", norm_of(F.col("_pvec")))
         )
-        cos = (cosine_exact if exact else cosine_fast)(F.col(vec_col), F.col("_pvec"))
+        cos = (cosine_exact_vs if exact else cosine_fast_vs)(
+            F.col(vec_col), F.col("_pvec"), F.col("_pnorm")
+        )
         src = embeddings
     w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     scored = (
@@ -301,17 +453,21 @@ def semantic_dedup_keep_one(
     if exact:
         planes_q6 = _hyperplanes_q6(dim, n_planes)
         bucket_of = lambda c: signed_projection_bucket_exact(c, planes_q6)  # noqa: E731
-        cos_of = cosine_exact
+        cos_of, norm_of = cosine_exact_pre, query_norm_dec
     else:
         planes = _hyperplanes(dim, n_planes)
         bucket_of = lambda c: signed_projection_bucket(c, planes)  # noqa: E731
-        cos_of = cosine_fast
+        cos_of, norm_of = cosine_fast_pre, query_norm_double
     # persist(): the projection is ~n_planes*dim multiplies per row and
     # feeds BOTH sides of the self-join (same rationale and same
     # non-checkpoint choice as q_embedding_neardup — keep scans
-    # visible to the catalog-wide plan guards).
+    # visible to the catalog-wide plan guards). The norm rides along:
+    # computed once per VECTOR here, not per candidate pair.
     bucketed = embeddings.select(
-        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_of(F.col(vec_col)).alias("_bucket"),
+        norm_of(F.col(vec_col)).alias("_norm"),
     ).persist()
     left, right = bucketed.alias("l"), bucketed.alias("r")
     pairs = left.join(
@@ -321,7 +477,12 @@ def semantic_dedup_keep_one(
     ).select(
         F.col(f"l.{id_col}").alias("_id_keep"),
         F.col(f"r.{id_col}").alias("_id_drop"),
-        cos_of(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("_cos"),
+        cos_of(
+            F.col(f"l.{vec_col}"),
+            F.col(f"r.{vec_col}"),
+            F.col("l._norm"),
+            F.col("r._norm"),
+        ).alias("_cos"),
     )
     # threshold on the ROUNDED cosine: the raw double can differ ~1 ulp
     # between engines at the boundary (decimal->double cast).

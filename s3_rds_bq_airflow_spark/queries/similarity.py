@@ -259,7 +259,11 @@ def q_embedding_neardup(spark, sf_dir):
     the embedding analogue of MinHash dedup. Declared in exact-decimal
     mode (quantized planes + decimal cosine) so buckets, the pair set,
     and the threshold are all verified against a DuckDB oracle."""
-    from ..operators.similarity import cosine_exact, signed_projection_bucket_exact
+    from ..operators.similarity import (
+        cosine_exact_pre,
+        query_norm_dec,
+        signed_projection_bucket_exact,
+    )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = emb.where(F.col("vec_id") % 29 == 0).select(
@@ -280,6 +284,8 @@ def q_embedding_neardup(spark, sf_dir):
         "vec_id",
         "embedding",
         signed_projection_bucket_exact(F.col("embedding"), _PLANES_Q6_16).alias("bucket"),
+        # norm once per VECTOR (linear), not per candidate pair
+        query_norm_dec(F.col("embedding")).alias("norm"),
     ).persist()
     left, right = bucketed.alias("l"), bucketed.alias("r")
     return (
@@ -291,7 +297,12 @@ def q_embedding_neardup(spark, sf_dir):
         .select(
             F.col("l.vec_id").alias("id_a"),
             F.col("r.vec_id").alias("id_b"),
-            cosine_exact(F.col("l.embedding"), F.col("r.embedding")).alias("cosine"),
+            cosine_exact_pre(
+                F.col("l.embedding"),
+                F.col("r.embedding"),
+                F.col("l.norm"),
+                F.col("r.norm"),
+            ).alias("cosine"),
         )
         # threshold on the ROUNDED value: the raw double can differ by
         # ~1 ulp between engines (decimal->double cast), so membership

@@ -252,20 +252,30 @@ def q_asof_tolerance(spark, sf_dir):
     """,
 )
 def q_interval_overlap(spark, sf_dir):
-    """Interval x interval overlap join (`operators/temporal.
-    interval_overlap_join_binned`): per-user daily activity spans
+    """Interval x interval overlap COUNT (`operators/temporal.
+    interval_overlap_count_rank`): per-user daily activity spans
     [first event, last event + 60 s) against global error-incident
     windows [error ts, +2 h), counting incidents each user-day
-    overlapped. Both interval sets explode onto fixed 2-hour buckets
-    and meet in an equi-join on the bucket with the residual overlap
-    predicate — the nested-loop O(n*m) never materializes, fanout is
-    interval_len/bucket + 1 per row (the interval generalization of
-    q_range_join's point-in-range binning). The oracle is the direct
-    overlap-predicate join: completeness of the bucket decomposition
-    (any overlap instant's bucket is covered by both sides) is what
-    equality proves. LEFT-join semantics reconstructed by unioning
-    zero-count spans back in (the binned join emits pairs only)."""
-    from ..operators.temporal import interval_overlap_join_binned
+    overlapped.
+
+    Round-9 scale rewrite (full-catalog sf10 campaign finding): the
+    original plan paired spans with incidents through the binned
+    overlap JOIN and counted the pairs — but the incidents are
+    GLOBAL, so every span joins all concurrent incidents and the
+    intermediate pair stream grows ~SF^2 while the output stays
+    linear (engine side alone ran 15+ min at sf10). The count
+    decomposes into two sorted-merge RANK lookups instead —
+    |incident starts < span end| − |incident ends <= span start| —
+    two bin-shuffled running-sum windows, zero pairs materialized;
+    zero-count spans fall out naturally (no zero-union pass). The
+    bounded cross-bin prefix sum is a calendar-domain single-
+    partition window (SINGLE_PARTITION_WINDOW_OK). The pair-producing
+    operator (`interval_overlap_join_binned`) remains the right gear
+    when the pairs ARE the output; its semantics stay pinned by
+    tests/test_temporal_ops.py. The oracle is the direct
+    overlap-predicate join, unchanged — equality proves the rank
+    decomposition."""
+    from ..operators.temporal import interval_overlap_count_rank
 
     e = t(spark, sf_dir, "events")
     spans = e.groupBy(
@@ -275,28 +285,19 @@ def q_interval_overlap(spark, sf_dir):
         (epoch_seconds(F.max("ts")) + F.lit(60.0)).alias("e0"),
     )
     incidents = e.where(F.col("event_type") == "error").select(
-        F.col("event_id").alias("incident_id"),
         epoch_seconds("ts").alias("is0"),
         (epoch_seconds("ts") + F.lit(7200.0)).alias("ie0"),
     )
-    pairs = interval_overlap_join_binned(
+    return interval_overlap_count_rank(
         spans,
         incidents,
         left_start=F.col("s0"),
         left_end=F.col("e0"),
         right_start=F.col("is0"),
         right_end=F.col("ie0"),
-        bucket_seconds=7200,
+        key_cols=("user_id", "day"),
+        count_col="n_overlapping_incidents",
     )
-    counts = pairs.groupBy("user_id", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("n_overlapping_incidents")
-    )
-    # left-join semantics: spans with no overlapping incident
-    zero = (
-        spans.join(counts.select("user_id", "day"), ["user_id", "day"], "left_anti")
-        .select("user_id", "day", F.lit(0).cast("long").alias("n_overlapping_incidents"))
-    )
-    return counts.unionByName(zero)
 
 
 # EWMA tail depth and the quantization scale of the int3 gear.

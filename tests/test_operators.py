@@ -357,6 +357,48 @@ def test_interval_overlap_equals_direct_predicate(spark):
     assert touch.count() == 0
 
 
+def test_interval_overlap_count_rank_equals_direct(spark):
+    """Rank-count overlap gear == per-left count of the direct
+    predicate, including the tie boundaries the decomposition hinges
+    on: an incident START exactly at a span END (strict <, excluded)
+    and an incident END exactly at a span START (<= in the
+    subtraction term, excluded from the overlap). Bin width is
+    deliberately unaligned to every interval."""
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_count_rank,
+    )
+
+    lefts = [(i, float(i * 50), float(i * 50 + 80)) for i in range(20)]
+    # rights engineered so some start exactly at a left end (150.0 ==
+    # left 1's s+80=130? use explicit touches below) plus the generic lattice
+    rights = [(float(j * 70 + 5), float(j * 70 + 40)) for j in range(15)]
+    rights += [(80.0, 95.0), (40.0, 50.0)]  # touch left 0's end=80 / start=...
+    # left 0 = [0, 80): right (80, 95) starts AT its end -> no overlap;
+    # right (40, 50) is inside -> overlap. left 1 = [50, 130): (40, 50)
+    # ends AT its start -> no overlap.
+    ldf = spark.createDataFrame(lefts, "lid long, s double, e double")
+    rdf = spark.createDataFrame(rights, "s2 double, e2 double")
+    got = {
+        (r.lid, r.n)
+        for r in interval_overlap_count_rank(
+            ldf,
+            rdf,
+            left_start=F.col("s"),
+            left_end=F.col("e"),
+            right_start=F.col("s2"),
+            right_end=F.col("e2"),
+            key_cols=("lid",),
+            count_col="n",
+            bin_seconds=64,
+        ).collect()
+    }
+    want = {
+        (li, sum(1 for (rs, re) in rights if ls < re and rs < le))
+        for (li, ls, le) in lefts
+    }
+    assert got == want
+
+
 def test_interval_overlap_rejects_malformed_interval(spark):
     """end < start raises at execution instead of silently generating
     a descending bucket sequence (wrong buckets, dropped overlaps)."""

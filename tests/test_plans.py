@@ -339,6 +339,11 @@ SINGLE_PARTITION_WINDOW_OK = {
     # Running min over the price-DISTINCT aggregate — the price value
     # domain (cents), not the part rows (verdict-adjudicated r6).
     "q_skyline_parts",
+    # Cross-bin prefix sum over PER-BIN TOTALS in the rank-count
+    # overlap gear (operators/temporal.interval_overlap_count_rank):
+    # one row per occupied time bin — bounded by calendar/bin_seconds,
+    # not the event count (round-9 sf10-campaign rewrite).
+    "q_interval_overlap",
 }
 
 
