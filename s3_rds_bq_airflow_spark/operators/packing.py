@@ -19,9 +19,16 @@ Two forms, both deterministic:
 
 At 100 TB: boundary packing is a single window over a
 range-partitioned ordering — embarrassingly scalable. Greedy packing
-parallelizes per group (e.g. per source/shard); the per-group scan is
-sequential by nature (each decision depends on the previous), which
-is inherent to first-fit, not an implementation artifact.
+parallelizes per group; the per-group scan is sequential by nature
+(each decision depends on the previous), which is inherent to
+first-fit, not an implementation artifact. Because ``applyInPandas``
+materializes each group as ONE in-memory pandas frame (unlike
+iterator-based ``mapInPandas``), a handful-cardinality group key
+(lang, source, ...) is an executor OOM at scale — the sharded gear
+(``n_shards > 1``) bounds every group to ~1/n_shards of its rows via
+a deterministic, oracle-replayable sub-key, at the cost of packs
+never spanning shards (first-fit is order-heuristic anyway; sharding
+changes WHICH packs form, not their hard-cap validity).
 """
 
 from __future__ import annotations
@@ -62,12 +69,35 @@ def greedy_pack(
     weight_col: str,
     order_col: str,
     group_cols: tuple[str, ...],
+    n_shards: int = 1,
+    shard_key: str | None = None,
 ) -> DataFrame:
     """First-fit-by-order with a HARD cap: within each group (in
     ``order_col`` order) a document joins the current pack unless
     that would push it over ``capacity`` — then a new pack starts.
     Documents heavier than ``capacity`` become singleton packs.
-    Returns the input columns + ``pack_id`` (group-local)."""
+    Returns the input columns + ``pack_id`` (group-local).
+
+    ``n_shards > 1`` is the SCALE gear: a deterministic sub-key
+    ``pack_shard = shard_key % n_shards`` (``shard_key`` must name a
+    non-negative integral column, e.g. a dense doc id — modulo is
+    uniform there and trivially replayable in a SQL oracle) joins the
+    grouping, so each pandas group holds ~1/n_shards of its group's
+    rows and the per-task payload is bounded by CONFIG, not by data
+    growth. ``pack_id`` is then local to (group, shard) and the
+    output carries ``pack_shard``; size n_shards so group_rows /
+    n_shards fits one task comfortably. ``n_shards=1`` is the
+    single-walk proof gear (schema unchanged: no ``pack_shard``
+    column) — equivalence with per-shard single walks is pinned in
+    tests/test_packing.py."""
+    if n_shards > 1:
+        if shard_key is None:
+            raise ValueError("greedy_pack: n_shards > 1 requires shard_key")
+        df = df.withColumn(
+            "pack_shard",
+            F.pmod(F.col(shard_key).cast("long"), F.lit(n_shards)).cast("int"),
+        )
+        group_cols = (*group_cols, "pack_shard")
     out_schema = T.StructType(list(df.schema.fields) + _PACK_SCHEMA_SUFFIX)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,23 +1,84 @@
-"""Grouped pandas UDAF surface (``applyInPandas``).
+"""Per-group model fitting: a distributed-moments scale gear plus the
+grouped pandas UDAF surface (``applyInPandas``).
 
 Policy (SURVEY §2.10 + SCALE.md): aggregations stay JVM-side unless
-the per-group logic genuinely needs a numerical library. This module
-is the template for that case — each group arrives as ONE Arrow-backed
-pandas DataFrame, runs vectorized numpy, and returns a typed result
-frame. Shuffle is by group key (same as groupBy); memory needs one
-group per task, so keys must be reasonably sized or pre-salted.
-
-The example computes a per-group OLS fit — the kind of per-entity
-model step a training-data pipeline runs after the relational heavy
-lifting.
+the per-group logic genuinely needs a numerical library. OLS does
+NOT — it decomposes into six moment sums, so the scale gear
+(`grouped_ols_moments`) is a plain codegen groupBy/agg with finish
+expressions: map-side partial aggregation, no Python, group payload
+one accumulator row regardless of group size. The pandas surface
+(`grouped_ols`) remains as the TEMPLATE for per-group logic that
+genuinely needs a library — but ``applyInPandas`` materializes each
+group as ONE Arrow-backed pandas frame in one Python worker, so its
+callers MUST bound group payloads (a config-sized key, or a
+deterministic cap like `queries/_util.bottom_k_by_md5`) — enforced
+catalog-wide by the grouped-pandas audit in
+tests/test_collect_audit.py.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
+
+
+def grouped_ols_moments(
+    df: DataFrame,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    sum_type: str = "decimal(18,6)",
+) -> DataFrame:
+    """Per-group OLS as DISTRIBUTED moment aggregates — the scale
+    gear for `grouped_ols`: slope, intercept and R^2 all derive from
+    {n, Σx, Σy, Σxy, Σx², Σy²}, which partial-aggregate map-side and
+    shuffle ONE row per group, so a 3-value group key over a 100 TB
+    fact table is three accumulator rows, not three whole-table
+    pandas frames.
+
+    Determinism (the _util.py convention): inputs are cast to
+    ``sum_type`` decimals so every sum is EXACT and order-independent
+    (products at scale 12 stay within decimal(38)); only the final
+    sums are cast to double, and the closed-form expressions below
+    are plain IEEE scalar ops — bit-replayable by a SQL oracle that
+    mirrors the same expression tree. Degenerate groups follow
+    `grouped_ols`: zero x-variance -> slope 0, intercept = mean(y);
+    zero y-variance (given slope 0) -> R^2 1."""
+
+    def _d(c: str) -> Column:
+        return F.col(c).cast(sum_type)
+
+    m = (
+        df.select(F.col(group_col), _d(x_col).alias("__x"), _d(y_col).alias("__y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").cast("double").alias("__sx"),
+            F.sum("__y").cast("double").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).cast("double").alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+            F.sum(F.col("__y") * F.col("__y")).cast("double").alias("__syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when(vx != 0, cov / vx).otherwise(F.lit(0.0))
+    return (
+        m.withColumn("slope", slope)
+        .withColumn("intercept", (F.col("__sy") - F.col("slope") * F.col("__sx")) / n)
+        .withColumn(
+            "r2",
+            F.when(
+                vy != 0, (F.col("slope") * cov) / vy
+            ).otherwise(F.lit(1.0)),
+        )
+        .select(group_col, "n", "slope", "intercept", "r2")
+    )
 
 
 def grouped_ols(
@@ -28,7 +89,13 @@ def grouped_ols(
     y_col: str,
 ) -> DataFrame:
     """Per-group least-squares line y = slope*x + intercept (plus n
-    and R^2), one Arrow batch per group."""
+    and R^2), one Arrow batch per group.
+
+    SURFACE template, not the scale gear: the whole group lands as
+    one pandas frame in one Python worker, so callers must bound the
+    group payload (cap or config-sized key) — use
+    `grouped_ols_moments` for real OLS at scale. See the module
+    docstring and the grouped-pandas audit."""
     out_schema = T.StructType(
         [
             T.StructField(group_col, T.StringType()),

@@ -269,11 +269,23 @@ def _merge_count(
     points sort after queries at equal value for strict <, before for
     <=; among themselves, equal-value rows are order-free (points all
     increment, queries all read the same running value).
+
+    NULL handling (round-9 advisor catch): a NULL value floors into a
+    NULL bin that sorts FIRST under the cross-bin prefix's ascending
+    order, so its weight would silently inflate EVERY real bin's
+    prefix. NULL points are therefore dropped (a point with no value
+    can never satisfy ``p < q``), and a NULL query value raises at
+    execution — a rank query without a value has no defined answer,
+    and raising beats returning a poisoned count (the
+    interval_overlap_join_binned malformed-input convention).
     """
-    qrows = queries.select(
-        *key_cols, q_value.cast("double").alias("__v"), F.lit(0).alias("__w")
+    checked_q = F.when(q_value.isNotNull(), q_value.cast("double")).otherwise(
+        F.raise_error(F.lit("_merge_count: query value is NULL"))
     )
-    prows = points.select(
+    qrows = queries.select(
+        *key_cols, checked_q.alias("__v"), F.lit(0).alias("__w")
+    )
+    prows = points.where(p_value.isNotNull()).select(
         *[F.lit(None).cast(queries.schema[c].dataType).alias(c) for c in key_cols],
         p_value.cast("double").alias("__v"),
         F.lit(1).alias("__w"),
@@ -355,11 +367,57 @@ def interval_overlap_count_rank(
     bucket, which trades fanout against bucket occupancy.
 
     ``key_cols`` must uniquely key ``left``. Zero-count intervals
-    come out naturally (both ranks equal) — no zero-union pass."""
+    come out naturally (both ranks equal) — no zero-union pass.
+
+    PRECONDITION (round-9 advisor catch): the rank decomposition's
+    subset argument requires well-formed intervals on BOTH sides —
+    ``R.end <= L.start`` is a subset of ``R.start < L.end`` only when
+    ``R.start <= R.end``, so a malformed right interval would make
+    the difference silently wrong (even negative). Both sides now
+    raise at execution on ``end < start`` or NULL endpoints, folded
+    into the USED value expressions so column pruning cannot drop the
+    check — the same convention (and failure mode rationale) as
+    `interval_overlap_join_binned`.
+
+    The validated left projection is persisted inside the operator:
+    both rank lookups scan it, and without the persist the caller's
+    upstream plan (e.g. q_interval_overlap's spans groupBy over the
+    full events table) executes twice (the semantic_dedup_keep_one
+    persist rationale; the handful-of-columns projection is tiny
+    relative to recomputing the upstream plan)."""
+
+    def _checked(primary: Column, start: Column, end: Column, side: str) -> Column:
+        # NULL start/end fails the <= and lands in the raise branch;
+        # the message coalesces NULL casts so concat can't null the
+        # whole error string away.
+        return F.when(start <= end, primary).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_count_rank: {side} interval has "
+                        "end < start or NULL endpoint (start="
+                    ),
+                    F.coalesce(start.cast("string"), F.lit("NULL")),
+                    F.lit(", end="),
+                    F.coalesce(end.cast("string"), F.lit("NULL")),
+                    F.lit(")"),
+                )
+            )
+        )
+
+    lv = left.select(
+        *key_cols,
+        _checked(left_start, left_start, left_end, "left").alias("__l_start"),
+        _checked(left_end, left_start, left_end, "left").alias("__l_end"),
+    ).persist()
+    rv = right.select(
+        _checked(right_start, right_start, right_end, "right").alias("__r_start"),
+        _checked(right_end, right_start, right_end, "right").alias("__r_end"),
+    )
     starts = _merge_count(
-        left,
-        left_end,
-        right.select(right_start.alias("__p")),
+        lv,
+        F.col("__l_end"),
+        rv.select(F.col("__r_start").alias("__p")),
         F.col("__p"),
         key_cols=key_cols,
         count_col="__lt_end",
@@ -367,9 +425,9 @@ def interval_overlap_count_rank(
         bin_seconds=bin_seconds,
     )
     ends = _merge_count(
-        left,
-        left_start,
-        right.select(right_end.alias("__p")),
+        lv,
+        F.col("__l_start"),
+        rv.select(F.col("__r_end").alias("__p")),
         F.col("__p"),
         key_cols=key_cols,
         count_col="__le_start",

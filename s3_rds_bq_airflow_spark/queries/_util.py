@@ -16,7 +16,7 @@ Cross-engine determinism conventions (Spark vs DuckDB oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..io.tables import load_table
 
@@ -67,3 +67,46 @@ def pair_salt_width(spark: SparkSession, max_width: int = 32) -> int:
     while width * 2 <= min(par, max_width):
         width *= 2
     return width
+
+
+def bottom_k_by_md5(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    id_col: Column | str,
+    k: int,
+    salt_width: int | None = None,
+) -> DataFrame:
+    """Deterministic per-group bottom-``k`` rows by ``md5(id)`` — the
+    `lpa_clique_fixture(node_cap=...)` cap discipline, made safe for
+    handful-cardinality groups.
+
+    A plain ROW_NUMBER cap shuffles each group to ONE task and sorts
+    it there — the very skew it exists to prevent. This runs two
+    phases instead: a local bottom-k within (group, salt) partitions
+    (each holds ~1/width of the group), then a global bottom-k over
+    the <= k*width survivors. Salt-INVARIANT by construction: every
+    row of a group's true bottom-k is also in the bottom-k of its own
+    salt slice, so phase 1 never drops a winner — the result equals
+    the plain single-sort cap for ANY width, which is what lets a SQL
+    oracle replay it as one ROW_NUMBER() <= k (pinned in
+    tests/test_pandas_udaf.py). ``id_col`` must be unique per row
+    (it is also the md5 tie-break). md5 of the decimal id string is
+    portable across Spark and DuckDB."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(idc.cast("string"))
+    if salt_width is None:
+        salt_width = pair_salt_width(df.sparkSession)
+    local = W.partitionBy(*group_cols, "__salt").orderBy(h.asc(), idc.asc())
+    survivors = (
+        df.withColumn("__salt", F.pmod(F.hash(idc), F.lit(salt_width)))
+        .withColumn("__rk", F.row_number().over(local))
+        .where(F.col("__rk") <= k)
+        .drop("__rk", "__salt")
+    )
+    final = W.partitionBy(*group_cols).orderBy(h.asc(), idc.asc())
+    return (
+        survivors.withColumn("__rk", F.row_number().over(final))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

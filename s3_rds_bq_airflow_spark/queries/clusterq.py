@@ -260,39 +260,139 @@ def q_udtf_sentences(spark, sf_dir):
     )
 
 
+_OLS_CAP = 1024
+
+
 @query(
     "q_pandas_udaf_ols",
-    oracle="""
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag, l_quantity,
+               CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT l_returnflag, l_quantity, rid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY MD5(CAST(rid AS VARCHAR)), rid) AS rk
+            FROM base
+        ) WHERE rk <= {_OLS_CAP}
+    )
     SELECT l_returnflag,
            COUNT(*) AS n,
            3.0 AS slope_r6,
            7.0 AS intercept_r6,
            1.0 AS r2_r6
-    FROM lineitem WHERE l_orderkey % 10 = 0
+    FROM capped
     GROUP BY l_returnflag
     """,
 )
 def q_pandas_udaf_ols(spark, sf_dir):
     """§2.10 grouped pandas UDAF surface, driver-checkable
-    (`operators/pandas_udaf.grouped_ols`): per-group OLS over an
-    exactly-linear synthetic target (y = 3x + 7 on l_quantity), so
-    slope/intercept/R² have closed-form values — rounded to 6
-    decimals to absorb the ~1e-12 float residue of the centered-sum
-    formulas. Non-trivial fits are pinned numerically in
-    tests/test_pandas_udaf.py; this query proves the Arrow
-    group-batch plumbing end-to-end under the driver's hash."""
+    (`operators/pandas_udaf.grouped_ols`) — on a BOUNDED group:
+    `applyInPandas` materializes each group as one pandas frame, and
+    `l_returnflag` has 3 values, so the round-9 shape fed the whole
+    fact table to three Python workers (the verdict's
+    unbounded-payload class). The group is now capped to a
+    deterministic bottom-k-by-md5 (k = _OLS_CAP = 1024) of the unique
+    row id (`queries/_util.bottom_k_by_md5` — two-phase,
+    salt-invariant, no single-task group sort), replayed verbatim in
+    the oracle's ROW_NUMBER cap, so per-task payload is 1024 rows at
+    ANY scale. The fit target stays exactly linear (y = 3x + 7 on
+    l_quantity): slope/intercept/R² keep closed-form values on every
+    subset, and the oracle-checked `n` proves both engines selected
+    the SAME rows. Real OLS at scale is `q_ols_moments` (distributed
+    moment aggregates — no cap needed). Non-trivial fits are pinned
+    numerically in tests/test_pandas_udaf.py."""
     from ..operators.pandas_udaf import grouped_ols
+    from ._util import bottom_k_by_md5
 
+    rid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint")
     li = (
         t(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") % 10 == 0)
-        .select(
-            "l_returnflag",
-            F.col("l_quantity").alias("x"),
-            (3 * F.col("l_quantity") + 7).alias("y"),
-        )
+        .select("l_returnflag", "l_quantity", rid.alias("rid"))
     )
-    fit = grouped_ols(li, group_col="l_returnflag", x_col="x", y_col="y")
+    capped = bottom_k_by_md5(
+        li, group_cols=("l_returnflag",), id_col="rid", k=_OLS_CAP
+    ).select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        (3 * F.col("l_quantity") + 7).alias("y"),
+    )
+    fit = grouped_ols(capped, group_col="l_returnflag", x_col="x", y_col="y")
+    return fit.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 6).alias("slope_r6"),
+        F.round("intercept", 6).alias("intercept_r6"),
+        F.round("r2", 6).alias("r2_r6"),
+    )
+
+
+@query(
+    "q_ols_moments",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(18,6)) AS x,
+               CAST(3 * l_quantity + 7 + (l_linenumber % 3)
+                    AS DECIMAL(18,6)) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x*y) AS DOUBLE) AS sxy,
+               CAST(SUM(x*x) AS DOUBLE) AS sxx,
+               CAST(SUM(y*y) AS DOUBLE) AS syy
+        FROM base GROUP BY l_returnflag
+    ),
+    fit AS (
+        SELECT l_returnflag, n, sx, sy, sxy, syy,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                    ELSE 0.0 END AS slope
+        FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(slope, 6) AS slope_r6,
+           ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept_r6,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * syy - sy * sy <> 0
+                      THEN (slope * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                           / (CAST(n AS DOUBLE) * syy - sy * sy)
+                      ELSE 1.0 END, 6) AS r2_r6
+    FROM fit
+    """,
+)
+def q_ols_moments(spark, sf_dir):
+    """Per-group OLS as distributed moment aggregates
+    (`operators/pandas_udaf.grouped_ols_moments`) — the SCALE gear
+    that replaces whole-group pandas materialization: six decimal-
+    exact sums partial-aggregate map-side and shuffle one row per
+    group, so the 3-value l_returnflag key costs three accumulator
+    rows at 100 TB, not three fact-table-sized pandas frames. The
+    target carries a deterministic non-linear residue
+    (y = 3x + 7 + l_linenumber % 3), so slope/intercept/R² are
+    DATA-dependent — the oracle replays the identical moment sums
+    (exact decimals -> double) and the identical closed-form IEEE
+    expressions, a far stronger check than closed-form constants.
+    Companion row sanctioned by the round-9 verdict (unfreeze ≤2 for
+    the grouped-pandas rewrites)."""
+    from ..operators.pandas_udaf import grouped_ols_moments
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        (3 * F.col("l_quantity") + 7 + F.col("l_linenumber") % 3).alias("y"),
+    )
+    fit = grouped_ols_moments(li, group_col="l_returnflag", x_col="x", y_col="y")
     return fit.select(
         "l_returnflag",
         "n",

@@ -271,36 +271,48 @@ def q_sequence_packing(spark, sf_dir):
     "q_sequence_packing_greedy",
     oracle=f"""
     WITH RECURSIVE docs AS (
-        SELECT doc_id, lang, LEN({_TOKENS_SQL}) AS n_tokens
+        SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS pack_shard,
+               LEN({_TOKENS_SQL}) AS n_tokens
         FROM documents WHERE doc_id % 3 = 0
     ), d AS (
-        SELECT lang, doc_id, n_tokens,
-               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        SELECT lang, pack_shard, doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang, pack_shard
+                                  ORDER BY doc_id) AS rn
         FROM docs
     ), walk AS (
-        SELECT lang, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id,
-               n_tokens AS running
+        SELECT lang, pack_shard, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS pack_id, n_tokens AS running
         FROM d WHERE rn = 1
         UNION ALL
-        SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+        SELECT d.lang, d.pack_shard, d.doc_id, d.n_tokens, d.rn,
                CASE WHEN w.running > 0 AND w.running + d.n_tokens > 2048
                     THEN w.pack_id + 1 ELSE w.pack_id END,
                CASE WHEN w.running > 0 AND w.running + d.n_tokens > 2048
                     THEN d.n_tokens ELSE w.running + d.n_tokens END
-        FROM d JOIN walk w ON d.lang = w.lang AND d.rn = w.rn + 1
+        FROM d JOIN walk w
+          ON d.lang = w.lang AND d.pack_shard = w.pack_shard
+         AND d.rn = w.rn + 1
     )
-    SELECT lang, pack_id, COUNT(*) AS n_docs,
+    SELECT lang, pack_shard, pack_id, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-    FROM walk GROUP BY lang, pack_id
+    FROM walk GROUP BY lang, pack_shard, pack_id
     """,
 )
 def q_sequence_packing_greedy(spark, sf_dir):
-    """Hard-cap greedy packing, driver-checkable: the running-total-
-    with-reset recurrence isn't window-expressible, so the Spark side
-    runs `operators/packing.greedy_pack` (per-language applyInPandas)
-    while the oracle replays the SAME first-fit walk as a DuckDB
-    RECURSIVE CTE — the Arrow-batched Python path gets a value-exact
-    SQL cross-check instead of a rows-only waiver."""
+    """Hard-cap greedy packing on the SHARDED gear, driver-checkable:
+    the running-total-with-reset recurrence isn't window-expressible,
+    so the Spark side runs `operators/packing.greedy_pack` as
+    applyInPandas — and because applyInPandas materializes each group
+    as ONE pandas frame, grouping on bare handful-cardinality `lang`
+    would land each language's ENTIRE doc set in one Python worker
+    (the round-9 verdict's unbounded-payload class). The declared
+    query therefore runs `n_shards=8` with the deterministic
+    `doc_id % 8` sub-key, bounding every group to ~1/8 of its
+    language; the oracle replays the IDENTICAL sharding and first-fit
+    walk as a DuckDB RECURSIVE CTE partitioned by (lang, shard) — the
+    Arrow-batched Python path keeps a value-exact SQL cross-check.
+    The unsharded proof gear (n_shards=1) stays pinned equal to
+    per-shard single walks in tests/test_packing.py."""
     from ..operators.packing import greedy_pack
 
     docs = (
@@ -320,9 +332,9 @@ def q_sequence_packing_greedy(spark, sf_dir):
     )
     packed = greedy_pack(
         docs, capacity=2048, weight_col="n_tokens", order_col="doc_id",
-        group_cols=("lang",),
+        group_cols=("lang",), n_shards=8, shard_key="doc_id",
     )
-    return packed.groupBy("lang", "pack_id").agg(
+    return packed.groupBy("lang", "pack_shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )

@@ -89,3 +89,97 @@ def test_audit_is_not_stale():
             assert any(r == rel and key in line for r, line in sites), (
                 f"stale audit entry: {rel} :: {key}"
             )
+
+
+# ---------------------------------------------------------------------------
+# Audit #4 (round-10): grouped-pandas payload bounds.
+#
+# `applyInPandas` / `applyInPandasWithState` materialize each GROUP as
+# one Arrow-backed pandas frame in one Python worker — the exact OOM
+# rationale of the collect audit above, which its collect_list/set
+# scan structurally missed (the round-9 verdict's lead finding: two
+# declared queries grouped a fact table on 3-value / handful keys).
+# Every grouped-pandas call site must document a structural bound on
+# the per-group payload: a config-sized shard, a deterministic cap
+# applied before the call, a per-entity key, or bounded per-key STATE
+# (the WithState case). Iterator-based mapInPandas is exempt — it
+# streams batches and never holds a whole group.
+# ---------------------------------------------------------------------------
+
+GROUPED_PANDAS_OK = {
+    "operators/packing.py": {
+        ".applyInPandas(pack, out_schema)": (
+            "greedy_pack: sharded gear bounds each group to "
+            "~group_rows/n_shards (config); the declared query "
+            "(q_sequence_packing_greedy) runs n_shards=8 — n_shards=1 "
+            "is the single-walk proof gear, test-only"
+        ),
+    },
+    "operators/pandas_udaf.py": {
+        ".applyInPandas(fit, out_schema)": (
+            "grouped_ols: surface template — callers MUST pre-bound "
+            "groups; the declared caller (q_pandas_udaf_ols) caps each "
+            "group to bottom-1024-by-md5 via _util.bottom_k_by_md5; "
+            "scale gear is grouped_ols_moments (no pandas at all)"
+        ),
+        ".applyInPandas(merge, out_schema)": (
+            "cogrouped_asof_merge: group = ONE entity key's rows on "
+            "both sides (per-user granularity) — the per-entity bound "
+            "class, same as the doc-paragraphs collect entry"
+        ),
+    },
+    "streaming/stateful.py": {
+        ".applyInPandasWithState(": (
+            "per-key STATE is two scalars (n, cents); the per-batch "
+            "group is one key's micro-batch slice — bounded by trigger "
+            "interval, RocksDB-tested at 1e5 keys "
+            "(tests/test_state_cardinality.py)"
+        ),
+    },
+}
+
+_GROUPED_CALL = re.compile(r"applyInPandas(?:WithState)?\s*\(")
+
+
+def _grouped_pandas_sites(pkg: Path = PKG):
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        for line in path.read_text().splitlines():
+            if _GROUPED_CALL.search(line) and not line.lstrip().startswith("#"):
+                yield rel, line.strip()
+
+
+def test_every_grouped_pandas_site_documents_its_bound():
+    undocumented = []
+    for rel, line in _grouped_pandas_sites():
+        allowed = GROUPED_PANDAS_OK.get(rel, {})
+        if not any(key in line for key in allowed):
+            undocumented.append((rel, line))
+    assert not undocumented, (
+        "applyInPandas/applyInPandasWithState without a documented "
+        "group-payload bound (whole groups land in ONE Python worker — "
+        f"add to GROUPED_PANDAS_OK with the bound): {undocumented}"
+    )
+
+
+def test_grouped_pandas_audit_is_not_stale():
+    sites = list(_grouped_pandas_sites())
+    for rel, allowed in GROUPED_PANDAS_OK.items():
+        for key in allowed:
+            assert any(r == rel and key in line for r, line in sites), (
+                f"stale grouped-pandas audit entry: {rel} :: {key}"
+            )
+
+
+def test_grouped_pandas_detector_fires(tmp_path):
+    """The scanner actually catches an undocumented call site — an
+    audit whose detector can't fire is an archive, not a net."""
+    rogue = tmp_path / "rogue.py"
+    rogue.write_text(
+        "df.groupBy('lang').applyInPandas(fn, schema)\n"
+        "s.groupBy('k').applyInPandasWithState(f, o, st, 'update', t)\n"
+        "# applyInPandas( in a comment is NOT a call site\n"
+    )
+    hits = [line for rel, line in _grouped_pandas_sites(tmp_path)]
+    assert len(hits) == 2, hits
+    assert all(not any(k in h for k in GROUPED_PANDAS_OK.get("rogue.py", {})) for h in hits)

@@ -421,3 +421,67 @@ def test_interval_overlap_rejects_malformed_interval(spark):
     )
     with pytest.raises(Exception, match="end < start"):
         out.collect()
+
+
+def test_interval_overlap_count_rank_rejects_malformed(spark):
+    """The rank gear's subset argument (|R.end <= L.start| a subset of
+    |R.start < L.end|) requires R.start <= R.end; a malformed right
+    interval would silently miscount (even negative) — so both gears
+    now raise identically on bad input (round-9 advisor parity
+    note). NULL endpoints are malformed too."""
+    import pytest
+
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_count_rank,
+    )
+
+    ldf = spark.createDataFrame([(1, 0.0, 100.0)], "lid long, s double, e double")
+
+    def run(rights_rows, schema="s2 double, e2 double"):
+        rdf = spark.createDataFrame(rights_rows, schema)
+        return interval_overlap_count_rank(
+            ldf, rdf,
+            left_start=F.col("s"), left_end=F.col("e"),
+            right_start=F.col("s2"), right_end=F.col("e2"),
+            key_cols=("lid",), count_col="n", bin_seconds=64,
+        ).collect()
+
+    with pytest.raises(Exception, match="end < start or NULL"):
+        run([(50.0, 10.0)])
+    with pytest.raises(Exception, match="end < start or NULL"):
+        run([(None, 10.0)])
+    # Malformed LEFT raises too (same check, left side).
+    bad_left = spark.createDataFrame([(1, 100.0, 0.0)], "lid long, s double, e double")
+    rdf = spark.createDataFrame([(10.0, 20.0)], "s2 double, e2 double")
+    with pytest.raises(Exception, match="end < start or NULL"):
+        interval_overlap_count_rank(
+            bad_left, rdf,
+            left_start=F.col("s"), left_end=F.col("e"),
+            right_start=F.col("s2"), right_end=F.col("e2"),
+            key_cols=("lid",), count_col="n", bin_seconds=64,
+        ).collect()
+
+
+def test_merge_count_null_inputs(spark):
+    """Round-9 advisor catch: a NULL point used to land in a NULL bin
+    that sorts FIRST in the cross-bin prefix, inflating EVERY query's
+    count (1 query at v=100 over points {10, NULL, 200} returned 2).
+    NULL points are dropped; NULL query values raise."""
+    import pytest
+
+    from s3_rds_bq_airflow_spark.operators.temporal import _merge_count
+
+    q = spark.createDataFrame([(1, 100.0)], "qid long, v double")
+    p = spark.createDataFrame([(10.0,), (None,), (200.0,)], "pv double")
+    got = _merge_count(
+        q, F.col("v"), p, F.col("pv"),
+        key_cols=("qid",), count_col="n", ties_count=False, bin_seconds=32,
+    ).collect()
+    assert [(r["qid"], r["n"]) for r in got] == [(1, 1)]
+
+    qnull = spark.createDataFrame([(1, None)], "qid long, v double")
+    with pytest.raises(Exception, match="query value is NULL"):
+        _merge_count(
+            qnull, F.col("v"), p, F.col("pv"),
+            key_cols=("qid",), count_col="n", ties_count=False, bin_seconds=32,
+        ).collect()

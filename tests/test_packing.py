@@ -58,3 +58,45 @@ def test_greedy_oversized_doc_singleton(spark):
         df, capacity=100, weight_col="n_tokens", order_col="doc_id", group_cols=("grp",)
     ).collect()}
     assert packed[1] != packed[2] and packed[2] != packed[3]
+
+
+def test_greedy_sharded_equals_per_shard_single_walks(spark):
+    """The sharded scale gear is EXACTLY the proof gear run on each
+    (group, doc_id % n_shards) slice: same pack assignments, same
+    hard cap — sharding bounds the pandas group payload without
+    changing first-fit semantics within a shard."""
+    df = _docs(spark)
+    sharded = greedy_pack(
+        df, capacity=200, weight_col="n_tokens", order_col="doc_id",
+        group_cols=("grp",), n_shards=4, shard_key="doc_id",
+    )
+    got = {
+        (r["grp"], r["pack_shard"], r["doc_id"]): r["pack_id"]
+        for r in sharded.collect()
+    }
+    assert len(got) == 60
+    for shard in range(4):
+        sub = df.where(F.col("doc_id") % 4 == shard)
+        walk = greedy_pack(
+            sub, capacity=200, weight_col="n_tokens", order_col="doc_id",
+            group_cols=("grp",),
+        )
+        for r in walk.collect():
+            assert got[(r["grp"], shard, r["doc_id"])] == r["pack_id"]
+    # Hard cap holds per (group, shard) pack.
+    stats = (
+        sharded.groupBy("grp", "pack_shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    )
+    assert all(r["tok"] <= 200 for r in stats)
+
+
+def test_greedy_sharded_requires_shard_key(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="shard_key"):
+        greedy_pack(
+            _docs(spark), capacity=200, weight_col="n_tokens",
+            order_col="doc_id", group_cols=("grp",), n_shards=4,
+        )

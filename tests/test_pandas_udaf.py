@@ -43,6 +43,91 @@ def test_grouped_ols_matches_jvm_closed_form(spark, sf_dir):
         assert 0.0 <= g["r2"] <= 1.0
 
 
+def test_grouped_ols_moments_equals_pandas_gear(spark, sf_dir):
+    """The distributed-moments scale gear and the pandas surface gear
+    must agree numerically on the same (bounded) input — two
+    algebraically equivalent forms of the same fit."""
+    from s3_rds_bq_airflow_spark.operators.pandas_udaf import grouped_ols_moments
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in grouped_ols_moments(
+            li, group_col="l_returnflag", x_col="x", y_col="y",
+            sum_type="decimal(18,6)",
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r
+        for r in grouped_ols(li, group_col="l_returnflag", x_col="x", y_col="y").collect()
+    }
+    assert set(got) == set(want)
+    for flag, w in want.items():
+        g = got[flag]
+        assert g["n"] == w["n"]
+        assert math.isclose(g["slope"], w["slope"], rel_tol=1e-9)
+        assert math.isclose(g["intercept"], w["intercept"], rel_tol=1e-9)
+        assert math.isclose(g["r2"], w["r2"], rel_tol=1e-9)
+
+
+def test_grouped_ols_moments_degenerate_groups(spark):
+    """Zero x-variance -> slope 0 / intercept mean(y); zero
+    y-variance too -> R^2 1 (the grouped_ols conventions)."""
+    from s3_rds_bq_airflow_spark.operators.pandas_udaf import grouped_ols_moments
+
+    df = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("a", 5.0, 3.0), ("b", 2.0, 9.0), ("b", 2.0, 9.0)],
+        ["g", "x", "y"],
+    )
+    got = {
+        r["g"]: r
+        for r in grouped_ols_moments(df, group_col="g", x_col="x", y_col="y").collect()
+    }
+    assert got["a"]["slope"] == 0.0 and math.isclose(got["a"]["intercept"], 2.0)
+    assert got["a"]["r2"] == 0.0  # constant x, varying y: explains nothing
+    assert got["b"]["slope"] == 0.0 and math.isclose(got["b"]["intercept"], 9.0)
+    assert got["b"]["r2"] == 1.0  # constant y: trivially explained
+
+
+def test_bottom_k_by_md5_salt_invariant(spark):
+    """The two-phase cap equals the plain single-sort bottom-k for
+    ANY salt width — the property that lets a SQL oracle replay it as
+    one ROW_NUMBER() <= k."""
+    from pyspark.sql import Window as W
+
+    from s3_rds_bq_airflow_spark.queries._util import bottom_k_by_md5
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(500)], ["g", "rid"]
+    )
+    plain = W.partitionBy("g").orderBy(
+        F.md5(F.col("rid").cast("string")).asc(), F.col("rid").asc()
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rk", F.row_number().over(plain))
+            .where(F.col("rk") <= 40)
+            .drop("rk")
+            .collect(),
+        )
+    )
+    for width in (1, 4, 16):
+        got = sorted(
+            map(
+                tuple,
+                bottom_k_by_md5(
+                    df, group_cols=("g",), id_col="rid", k=40, salt_width=width
+                ).collect(),
+            )
+        )
+        assert got == want, f"salt width {width} changed the capped set"
+
+
 def test_cogrouped_asof_equals_jvm_asof(spark, sf_dir):
     """cogroup().applyInPandas(merge_asof) must equal the JVM
     union+carry-forward as-of join on the events/purchases pairing."""

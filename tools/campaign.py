@@ -21,34 +21,77 @@ cap fires (exit code 124 of the compare child itself — NOT of a
 pipeline; a `timeout cmd | grep` pipeline reports grep's status and
 silently swallows the 124, which is how round 9's first sweep lost a
 timeout line).
+
+--remaining LOG... derives the not-yet-campaigned set (round-9
+verdict nit: the remainder was only reconstructible from prose, so a
+sweep could double-run or silently skip rows): it prints every
+catalog name WITHOUT a verdict line (OK/ok/FAIL/TIMEOUT/ENGINE, or an
+explicit "COVERED <name> <provenance>" entry) in the given logs, one
+per line, in catalog order — composable as
+`--names $(python tools/campaign.py --remaining docs/sf10_campaign_coverage.log)`.
+The committed coverage ledger is docs/sf10_campaign_coverage.log;
+append each campaign's log to it when the campaign finishes.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# A line that assigns an sf10 verdict (or explicitly records coverage
+# with provenance) to a query name.
+_VERDICT = re.compile(r"^(?:OK|ok|FAIL|TIMEOUT|ENGINE|COVERED)\s+(\S+)")
 
-def head_names(n: int) -> list[str]:
+
+def catalog_names() -> list[str]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as em
 
-    return list(em.queries())[:n]
+    return list(em.queries())
+
+
+def head_names(n: int) -> list[str]:
+    return catalog_names()[:n]
+
+
+def covered_names(log_paths: list[str]) -> set[str]:
+    covered: set[str] = set()
+    for path in log_paths:
+        with open(path) as fh:
+            for line in fh:
+                m = _VERDICT.match(line.strip())
+                if m:
+                    covered.add(m.group(1).rstrip(":(").rstrip(":"))
+    return covered
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", required=True, help="scaled replica dir (tools/make_scale.py)")
+    ap.add_argument("--sf", default=None, help="scaled replica dir (tools/make_scale.py)")
     ap.add_argument("--head", type=int, default=0, help="run the first N catalog queries")
     ap.add_argument("--names", nargs="*", default=[], help="explicit query names")
     ap.add_argument("--timeout", type=int, default=1500, help="per-query seconds")
     ap.add_argument("--log", default=None, help="also append result lines here")
+    ap.add_argument(
+        "--remaining", nargs="+", metavar="LOG", default=None,
+        help="print catalog names with no verdict in these logs, then exit",
+    )
     args = ap.parse_args()
 
+    if args.remaining is not None:
+        covered = covered_names(args.remaining)
+        for name in catalog_names():
+            if name not in covered:
+                print(name)
+        return 0
+
+    if args.sf is None:
+        ap.error("--sf is required unless --remaining is given")
     names = args.names or head_names(args.head or 50)
     logf = open(args.log, "a") if args.log else None
 

@@ -14,8 +14,15 @@ Usage:
     python tools/engine_only.py --sf /tmp/sf10 q_haversine_nearest q_feature_hashing
 
 Prints one line per query: `ENGINE <name> (<rows> rows, <sec>s)` —
-wall time covers the full action (count of the materialized result),
-cold session per process like the campaign harness.
+wall time covers FULL materialization of every output column: a
+`.count()` would let Catalyst prune expensive final projections
+(q_jl_projection's 16 list_transform columns, q_feature_hashing's
+per-token md5 — the round-9 advisor catch), understating engine cost
+and misattributing slow campaign rows to the oracle. The action is a
+single-pass `count + sum(xxhash64(struct(*cols)))` aggregate — the
+hash consumes every column, matching what the compare harness
+actually collects, while still returning the row count in one job.
+Cold session per process like the campaign harness.
 """
 
 from __future__ import annotations
@@ -54,7 +61,16 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         try:
-            n = qs[name](spark, args.sf).count()
+            from pyspark.sql import functions as F
+
+            df = qs[name](spark, args.sf)
+            # xxhash64 over a struct of ALL columns defeats column
+            # pruning — every output expression must be evaluated.
+            row = df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(F.struct(*df.columns))).alias("h"),
+            ).collect()[0]
+            n = row["n"]
         except Exception as exc:  # noqa: BLE001 - adjudication tool reports, not raises
             print(f"ENGINE {name}: FAILED {type(exc).__name__}: {exc}")
             rc = 1
