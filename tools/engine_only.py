@@ -66,9 +66,11 @@ def main() -> int:
             df = qs[name](spark, args.sf)
             # xxhash64 over a struct of ALL columns defeats column
             # pruning — every output expression must be evaluated.
+            # Summed in decimal: a long sum of 64-bit hashes overflows
+            # under ANSI (Spark 4 default).
             row = df.select(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64(F.struct(*df.columns))).alias("h"),
+                F.sum(F.xxhash64(F.struct(*df.columns)).cast("decimal(38,0)")).alias("h"),
             ).collect()[0]
             n = row["n"]
         except Exception as exc:  # noqa: BLE001 - adjudication tool reports, not raises
