@@ -171,6 +171,7 @@ def interval_overlap_join_binned(
     right_end: Column,
     bucket_seconds: int,
     on: str | None = None,
+    max_fanout: int | None = None,
 ) -> DataFrame:
     """Interval x interval OVERLAP join: pairs every left interval
     with every right interval satisfying
@@ -192,22 +193,37 @@ def interval_overlap_join_binned(
     Malformed intervals (``end < start``) raise at execution rather
     than silently producing a descending ``F.sequence`` bucket list
     (which would bucket the pair wrongly and drop overlaps).
+
+    This is the catalog's only DATA-dependent explode fanout (the
+    round-10 `EXPLODE_SEQUENCE_OK` audit): one corrupt interval — an
+    epoch-zero start against a current-day end is ~56 years, ~2M
+    buckets at 900 s — explodes a single task. ``max_fanout`` guards
+    it: any interval covering more than that many buckets raises at
+    execution (same folded-into-the-used-expression discipline as the
+    malformed check), so callers can pin 'no interval is longer than
+    N buckets' as an executable assumption instead of a comment.
     """
 
     def _checked_lo(start: Column, end: Column, side: str) -> Column:
         # Folded into the USED bucket expression (not a dropped audit
         # column) so column pruning cannot optimize the check away.
         lo = F.floor(start / bucket_seconds).cast("long")
-        return F.when(start <= end, lo).otherwise(
+        hi = F.floor(end / bucket_seconds).cast("long")
+        ok = start <= end
+        why = "end < start"
+        if max_fanout is not None:
+            ok = ok & (hi - lo + 1 <= max_fanout)
+            why = f"end < start or bucket fanout > {max_fanout}"
+        return F.when(ok, lo).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
                         f"interval_overlap_join_binned: {side} interval has "
-                        "end < start (start="
+                        f"{why} (start="
                     ),
-                    start.cast("string"),
+                    F.coalesce(start.cast("string"), F.lit("NULL")),
                     F.lit(", end="),
-                    end.cast("string"),
+                    F.coalesce(end.cast("string"), F.lit("NULL")),
                     F.lit(")"),
                 )
             )

@@ -171,6 +171,110 @@ def test_grouped_pandas_audit_is_not_stale():
             )
 
 
+# ---------------------------------------------------------------------------
+# Audit #5 (round-10): explode(sequence(...)) fanout bounds.
+#
+# explode(sequence(lo, hi)) multiplies ONE input row into (hi - lo + 1)
+# output rows — the remaining intermediate-blowup class after the pair
+# joins (audit #3): a data-dependent hi - lo means one corrupt row
+# (epoch-zero start vs current-day end = ~2M buckets at 900 s) explodes
+# a single task, invisible at every test SF because test data is clean.
+# Every site must document why its fanout is bounded: a literal/config
+# constant, a salt width, a config tolerance/bucket ratio, a per-doc
+# length — or, for the one genuinely data-dependent site, the
+# max_fanout execution guard callers can pin.
+# ---------------------------------------------------------------------------
+
+EXPLODE_SEQUENCE_OK = {
+    "operators/temporal.py": {
+        "F.explode(F.sequence(lb, ub))": (
+            "2 sites (range_join_binned left, interval_overlap_join_binned "
+            "left): range gear fanout = 2*tolerance/bucket + 1 (pure config); "
+            "interval gear fanout = interval_len/bucket + 1 — the ONLY "
+            "data-dependent fanout in the catalog, guarded by the optional "
+            "max_fanout raise (folded into the used bucket expression)"
+        ),
+        "F.explode(F.sequence(rb, rub))": (
+            "interval_overlap_join_binned right side — same bound and "
+            "max_fanout guard as the left"
+        ),
+    },
+    "operators/skew.py": {
+        "F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))": (
+            "salt replication of the small side — fanout = n_salt (config, "
+            "<= pair_salt_width cap 32)"
+        ),
+    },
+    "queries/eventsops.py": {
+        "F.explode(F.sequence(F.lit(0), F.lit(6)))": "literal 7-day window",
+    },
+    "queries/textops.py": {
+        "F.explode(F.sequence(F.lit(0), F.lit(_MH_SEEDS - 1)))": (
+            "fanout = _MH_SEEDS (module constant)"
+        ),
+    },
+    "queries/dedup.py": {
+        "F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))": (
+            "salt replication — fanout = pair_salt_width (config, <= 32)"
+        ),
+    },
+    "queries/clusterq.py": {
+        "F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))": (
+            "salt replication — fanout = pair_salt_width (config, <= 32)"
+        ),
+    },
+    "queries/trainprep.py": {
+        "F.explode(F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE)))": (
+            "2 sites (context chunking): fanout = doc_tokens / _CHUNK_STRIDE "
+            "— bounded by doc length (a doc fits on an executor by the "
+            "ingest contract), stride is a module constant"
+        ),
+    },
+}
+
+_EXPLODE_SEQ = re.compile(r"explode\(\s*F\.sequence\s*\(")
+
+
+def _explode_sequence_sites(pkg: Path = PKG):
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        for line in path.read_text().splitlines():
+            if _EXPLODE_SEQ.search(line) and not line.lstrip().startswith("#"):
+                yield rel, line.strip()
+
+
+def test_every_explode_sequence_site_documents_its_fanout_bound():
+    undocumented = []
+    for rel, line in _explode_sequence_sites():
+        allowed = EXPLODE_SEQUENCE_OK.get(rel, {})
+        if not any(key in line for key in allowed):
+            undocumented.append((rel, line))
+    assert not undocumented, (
+        "explode(sequence(...)) without a documented fanout bound (one "
+        "data-dependent hi-lo can multiply a corrupt row into millions — "
+        f"add to EXPLODE_SEQUENCE_OK with the bound): {undocumented}"
+    )
+
+
+def test_explode_sequence_audit_is_not_stale():
+    sites = list(_explode_sequence_sites())
+    for rel, allowed in EXPLODE_SEQUENCE_OK.items():
+        for key in allowed:
+            assert any(r == rel and key in line for r, line in sites), (
+                f"stale explode-sequence audit entry: {rel} :: {key}"
+            )
+
+
+def test_explode_sequence_detector_fires(tmp_path):
+    rogue = tmp_path / "rogue.py"
+    rogue.write_text(
+        'df.withColumn("b", F.explode(F.sequence(F.col("lo"), F.col("hi"))))\n'
+        "# F.explode(F.sequence( in a comment is not a call site\n"
+    )
+    hits = [line for rel, line in _explode_sequence_sites(tmp_path)]
+    assert len(hits) == 1, hits
+
+
 def test_grouped_pandas_detector_fires(tmp_path):
     """The scanner actually catches an undocumented call site — an
     audit whose detector can't fire is an archive, not a net."""

@@ -423,6 +423,38 @@ def test_interval_overlap_rejects_malformed_interval(spark):
         out.collect()
 
 
+def test_interval_overlap_binned_max_fanout_guard(spark):
+    """The explode-fanout audit's executable gear: with max_fanout
+    set, an interval covering more buckets than the cap raises at
+    execution (one corrupt epoch-zero row would otherwise explode a
+    task into millions of bucket rows); inside the cap, results are
+    identical to the unguarded operator."""
+    import pytest
+
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_join_binned,
+    )
+
+    ldf = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 50.0, 120.0)], "lid long, s double, e double"
+    )
+    rdf = spark.createDataFrame([(10, 90.0, 110.0)], "rid long, s2 double, e2 double")
+
+    def run(**kw):
+        return interval_overlap_join_binned(
+            ldf, rdf,
+            left_start=F.col("s"), left_end=F.col("e"),
+            right_start=F.col("s2"), right_end=F.col("e2"),
+            bucket_seconds=16, **kw,
+        ).select("lid", "rid").collect()
+
+    want = sorted(map(tuple, run()))
+    # caps generously above the true fanout (100/16 + 1 = 8 buckets):
+    assert sorted(map(tuple, run(max_fanout=16))) == want
+    with pytest.raises(Exception, match="fanout > 4"):
+        run(max_fanout=4)
+
+
 def test_interval_overlap_count_rank_rejects_malformed(spark):
     """The rank gear's subset argument (|R.end <= L.start| a subset of
     |R.start < L.end|) requires R.start <= R.end; a malformed right
