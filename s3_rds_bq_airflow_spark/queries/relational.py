@@ -9,10 +9,13 @@ free in Spark"); the rebuild exposes the full surface over the same
 star-schema keys.
 
 Scale notes (100 TB posture): every query here keeps filters next to
-the scan so Catalyst pushes them into the parquet reader; dimension
-tables (region/nation/supplier) join via broadcast — no shuffle of the
-fact table for dimension enrichment; aggregations are partial+final
-hash aggregates (map-side combine) by construction.
+the scan so Catalyst pushes them into the parquet reader; the
+constant-cardinality dimensions (region 5 rows, nation 25 rows at
+any SF) are broadcast by explicit hint, while SF-scaling dimensions
+(supplier/part/customer) carry no hint — size-based planning + AQE
+broadcast them while small and shuffle them at 100 TB, instead of a
+forced hint overriding the size check into an OOM; aggregations are
+partial+final hash aggregates (map-side combine) by construction.
 """
 
 from __future__ import annotations
@@ -137,17 +140,18 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_nation_revenue(spark, sf_dir):
-    """TPC-H-Q5-style star join. nation/region/supplier are broadcast
-    (dimension tables stay small at any SF — nation is 25 rows at
-    100 TB too), so the only shuffles are the two fact-fact joins and
-    the final tiny aggregate."""
+    """TPC-H-Q5-style star join. nation/region broadcast by hint
+    (25 / 5 rows at 100 TB too); supplier is size-planned — broadcast
+    while it fits the threshold, shuffle at the SF where it no longer
+    does. The only unavoidable shuffles are the two fact-fact joins
+    and the final tiny aggregate."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     li = t(spark, sf_dir, "lineitem")
-    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    supp = t(spark, sf_dir, "supplier")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
     return (

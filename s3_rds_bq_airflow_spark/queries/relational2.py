@@ -10,9 +10,16 @@ group-filter join-back (q18, argmax), disjunctive pushdown (q19),
 distinct-count with NOT-IN exclusion (q16), scalar-subquery threshold
 + anti join (q22).
 
-Scale notes: dimension sides broadcast explicitly; every conditional
-ratio is computed from exact decimal partials; thresholds derived
-from data use two-phase aggregation, never a driver collect.
+Scale notes: CONSTANT-cardinality dimensions (nation, region) are
+broadcast explicitly; SF-SCALING dimensions (part, supplier,
+customer — TPC-H grows them linearly with the corpus) carry NO
+broadcast hint, so size-based planning + AQE broadcast them while
+they fit the threshold and degrade to a shuffle join at 100 TB
+instead of overriding the size check into an executor/driver OOM
+(enforced catalog-wide: the forced-broadcast sweep's fact set
+includes part/supplier/customer). Every conditional ratio is
+computed from exact decimal partials; thresholds derived from data
+use two-phase aggregation, never a driver collect.
 """
 
 from __future__ import annotations
@@ -82,13 +89,14 @@ def q4_order_priority(spark, sf_dir):
 )
 def q7_nation_volume(spark, sf_dir):
     """TPC-H-Q7 shape: trade volume between a nation pair by year.
-    Disjunctive cross-dimension predicate evaluates after two broadcast
-    dimension joins; only fact-fact join shuffles."""
+    Disjunctive cross-dimension predicate evaluates after the
+    dimension joins (nation broadcast by hint; supplier by size
+    stats while it fits); only fact-fact join shuffles."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    supp = t(spark, sf_dir, "supplier")
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     n1 = F.broadcast(t(spark, sf_dir, "nation")).select(
@@ -146,7 +154,7 @@ def q8_market_share(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     cust = t(spark, sf_dir, "customer")
-    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    supp = t(spark, sf_dir, "supplier")
     n1 = F.broadcast(t(spark, sf_dir, "nation")).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -195,11 +203,12 @@ def q8_market_share(spark, sf_dir):
 def q9_product_profit(spark, sf_dir):
     """TPC-H-Q9 shape: profit by supplier nation and year (supply cost
     stands in as half retail price — the dataset has no partsupp).
-    part/supplier/nation broadcast; the fact table never shuffles
-    before the aggregate."""
+    nation broadcast by hint, part/supplier by size stats (no hint —
+    they scale with SF); the fact table never shuffles before the
+    aggregate."""
     li = t(spark, sf_dir, "lineitem")
-    part = F.broadcast(t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")))
-    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    part = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = t(spark, sf_dir, "supplier")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     profit = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)") - dec(
         "p_retailprice"
@@ -302,12 +311,13 @@ def q12_priority_shipping(spark, sf_dir):
 )
 def q14_promo_share(spark, sf_dir):
     """TPC-H-Q14 shape: promo revenue percentage for one month —
-    broadcast part join + two exact conditional sums."""
+    size-planned part join (broadcast while part fits the
+    threshold) + two exact conditional sums."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
-    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -339,12 +349,10 @@ def q16_supplier_diversity(spark, sf_dir):
     with a NOT-IN exclusion (left-anti against in-arrears suppliers,
     which broadcast — the exclusion list is tiny at any scale)."""
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    part = F.broadcast(
-        t(spark, sf_dir, "part").where(
-            (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
-        )
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
     )
-    bad_supp = F.broadcast(
+    bad_supp = (
         t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     )
     return (
@@ -422,7 +430,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     ranges — Catalyst extracts the common join key and pushes the OR
     of ranges into both scans."""
     li = t(spark, sf_dir, "lineitem")
-    part = F.broadcast(t(spark, sf_dir, "part"))
+    part = t(spark, sf_dir, "part")
     cond1 = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 10)
@@ -602,7 +610,7 @@ def q17_small_quantity(spark, sf_dir):
     quantity — the correlated average becomes a per-part aggregate
     joined back (exact decimal mean for a deterministic threshold)."""
     li = t(spark, sf_dir, "lineitem")
-    part = F.broadcast(t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11"))
+    part = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
     per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
     )
@@ -646,7 +654,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H-Q2 shape (no partsupp table: observed unit cost from
     lineitem stands in for ps_supplycost): per part, the supplier with
     the minimum unit cost — correlated-min + deterministic argmin
-    join-back, dimension joins broadcast."""
+    join-back; part/supplier joins are size-planned (no forced
+    broadcast — both scale with SF)."""
     li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -662,8 +671,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.min("l_suppkey").alias("best_suppkey"), F.min("best_cost").alias("best_cost"))
     )
-    part = F.broadcast(t(spark, sf_dir, "part").where(F.col("p_size") <= 5))
-    supp = F.broadcast(t(spark, sf_dir, "supplier"))
+    part = t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    supp = t(spark, sf_dir, "supplier")
     return (
         pick.join(part, pick.l_partkey == part.p_partkey)
         .join(supp, pick.best_suppkey == supp.s_suppkey)
@@ -722,9 +731,9 @@ def q20_supplier_share(spark, sf_dir):
     """TPC-H-Q20 shape: suppliers whose shipped volume concentrates in
     one product family (>15% widgets; 25% matches zero suppliers on this corpus at any SF) — nested conditional aggregate
     feeding a filtered join, the classic HAVING-on-derived-ratio
-    plan (one fact shuffle, part and supplier broadcast)."""
+    plan (one fact shuffle; part and supplier size-planned)."""
     li = t(spark, sf_dir, "lineitem")
-    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
     per_supp = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
@@ -738,7 +747,7 @@ def q20_supplier_share(spark, sf_dir):
         )
         .where(F.col("widget_qty") > 0.15 * F.col("total_qty"))
     )
-    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
         .select(
@@ -776,7 +785,7 @@ def q_exists_combo(spark, sf_dir):
     reused for both quantifiers."""
     orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type"))
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
     buyer_parts = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .join(part, li.l_partkey == part.p_partkey)
@@ -822,7 +831,7 @@ def q11_important_stock(spark, sf_dir):
     scale factors, so the threshold is 2x the average part value —
     scale-free, same aggregate + scalar-subquery-HAVING plan."""
     li = t(spark, sf_dir, "lineitem")
-    supp = F.broadcast(
+    supp = (
         t(spark, sf_dir, "supplier")
         .join(
             F.broadcast(t(spark, sf_dir, "nation")).where(
@@ -912,7 +921,7 @@ def q21_waiting_supplier(spark, sf_dir):
             "left_anti",
         )
     )
-    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sole_late.join(supp, sole_late["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_name")

@@ -1194,12 +1194,14 @@ def q_diff_in_diff(spark, sf_dir):
     same parenthesized expression tree on both engines — the q_bm25
     float discipline).
 
-    Scale: one broadcast dimension join + one aggregate, no window,
-    no second pass; the 2x2 design generalizes to any cell count as
-    extra CASE arms in the same pass."""
+    Scale: one size-planned dimension join (customer scales with SF,
+    so no forced broadcast hint — stats/AQE broadcast the 2-column
+    projection while it fits and shuffle beyond) + one aggregate, no
+    window, no second pass; the 2x2 design generalizes to any cell
+    count as extra CASE arms in the same pass."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
         (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
         (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         .cast("int")

@@ -141,18 +141,48 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     a cartesian of two distributed relations is never acceptable at
     scale. (b) With size-based auto-broadcast DISABLED (so the only
     BroadcastExchanges left are ones the code FORCED with a hint), no
-    fact table (the relations that grow with the corpus) may be
-    broadcast without a bounding limit / aggregate / selective filter
-    between scan and exchange — a forced whole-fact broadcast is the
-    canonical 100 TB plan killer and no size estimate will save it.
-    Auto-broadcasts at tiny SF are fine: real stats + AQE flip them
-    to shuffle joins at scale."""
+    SF-SCALING relation may be broadcast without a bounding limit /
+    aggregate / selective filter between scan and exchange — a forced
+    whole-relation broadcast is the canonical 100 TB plan killer and
+    no size estimate will save it, because the hint OVERRIDES the
+    size check. Round 10 widened the guarded set beyond the five
+    fact tables to part/supplier/customer: TPC-H scales those
+    linearly with SF too (part is ~20B rows at 100 TB), so only the
+    constant-cardinality nation (25) and region (5) may carry a
+    broadcast hint. Auto-broadcasts at tiny SF are fine: real stats
+    + AQE flip them to shuffle joins at scale."""
     from s3_rds_bq_airflow_spark.plans.inspect import (
         plan_nodes,
         unbounded_broadcast_tables,
     )
 
-    facts = {"orders", "lineitem", "events", "documents", "embeddings"}
+    facts = {
+        "orders", "lineitem", "events", "documents", "embeddings",
+        # SF-scaling dimensions — broadcastable only by SIZE, never by hint
+        "part", "supplier", "customer",
+    }
+    # Documented exceptions: queries whose FORCED broadcast of an
+    # SF-scaling relation is the declared design, with the reason.
+    # Every entry must name a real (query, table) offender — the
+    # staleness assert below keeps this an audit, not an archive.
+    forced_broadcast_ok = {
+        ("q_haversine_nearest", "supplier"): (
+            "declared BRUTE-FORCE verification twin (r8 campaign "
+            "adjudication): the cross product IS the semantics; the "
+            "scale gear is q_nearest_supplier_bucketed"
+        ),
+        ("q_nearest_supplier", "supplier"): (
+            "same brute verification twin as q_haversine_nearest "
+            "(squared-degree metric variant)"
+        ),
+        ("q_nearest_supplier_bucketed", "supplier"): (
+            "sparse-residue fallback ring only: lefts unresolved "
+            "within one grid cell BNL against the dim; size the cell "
+            "to the dim density so the residue input is ~empty — the "
+            "hot path is the cell-id equi-join (plan-pinned in "
+            "test_grid_nn_hot_path_is_equi_join)"
+        ),
+    }
     offenders = []
     names = [n for n in sorted(QUERIES) if not n.startswith("q_stream")]
     for name in names:  # streaming queries execute, no static plan here
@@ -160,14 +190,20 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
             offenders.append(f"{name}: cartesian")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    seen_allowlisted = set()
     try:
         for name in names:
             bad = unbounded_broadcast_tables(QUERIES[name](spark, sf_dir)) & facts
-            if bad:
-                offenders.append(f"{name}: forced unbounded fact broadcast {sorted(bad)}")
+            for table in sorted(bad):
+                if (name, table) in forced_broadcast_ok:
+                    seen_allowlisted.add((name, table))
+                else:
+                    offenders.append(f"{name}: forced unbounded fact broadcast {table}")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert not offenders, offenders
+    stale = set(forced_broadcast_ok) - seen_allowlisted
+    assert not stale, f"stale forced-broadcast allowlist entries: {sorted(stale)}"
 
 
 def test_grid_nn_hot_path_is_equi_join(q):
