@@ -373,9 +373,15 @@ def interval_overlap_count_rank(
 
         overlaps(L) = |{R : R.start < L.end}| - |{R : R.end <= L.start}|
 
-    (the second set is a subset of the first: R.end <= L.start
-    implies R.start < R.end <= L.start < L.end, so the difference is
-    exactly the overlap count — no inclusion-exclusion residue.)
+    (the second set is a subset of the first — R.end <= L.start with
+    R.start <= R.end <= L.start <= L.end can only violate
+    R.start < L.end when ALL FOUR endpoints are equal, i.e. a
+    zero-length right interval sitting exactly on a zero-length left
+    interval; that one case is repaired by an exact correction term
+    below, so the difference is exactly the overlap count for every
+    well-formed input including degenerate intervals — found by the
+    round-10 hypothesis law, invisible to the lattice unit test and
+    every tested SF.)
     Each lookup is a `_merge_count`: two bin-shuffles + per-bin
     running sums, O((n+m) log) work, zero pairs. ``bin_seconds`` is a
     pure parallelism grain (finer bins = smaller window partitions),
@@ -450,7 +456,34 @@ def interval_overlap_count_rank(
         ties_count=True,
         bin_seconds=bin_seconds,
     )
-    return starts.join(ends, list(key_cols)).select(
-        *key_cols,
-        (F.col("__lt_end") - F.col("__le_start")).cast("long").alias(count_col),
+    # Degenerate-coincidence correction: a zero-length right at point
+    # p is counted by the <=-rank but not the <-rank when the left is
+    # ALSO zero-length at exactly p (see docstring) — add those back.
+    # Pair-free: degenerate rights aggregate to one count per distinct
+    # point (empty on typical data), then equi-join on the point
+    # against the (usually tiny) degenerate-left slice.
+    deg_r = (
+        rv.where(F.col("__r_start") == F.col("__r_end"))
+        .groupBy(F.col("__r_start").cast("double").alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__deg_cnt"))
+    )
+    deg_l = lv.where(F.col("__l_start") == F.col("__l_end")).select(
+        *key_cols, F.col("__l_start").cast("double").alias("__p")
+    )
+    # Size-planned join (no broadcast hint — deg_r is data-dependent;
+    # on typical data both slices are empty and AQE collapses this).
+    corr = deg_l.join(deg_r, "__p").select(*key_cols, F.col("__deg_cnt"))
+    return (
+        starts.join(ends, list(key_cols))
+        .join(corr, list(key_cols), "left")
+        .select(
+            *key_cols,
+            (
+                F.col("__lt_end")
+                - F.col("__le_start")
+                + F.coalesce(F.col("__deg_cnt"), F.lit(0))
+            )
+            .cast("long")
+            .alias(count_col),
+        )
     )

@@ -455,7 +455,47 @@ def test_interval_overlap_binned_max_fanout_guard(spark):
         run(max_fanout=4)
 
 
-def test_interval_overlap_count_rank_rejects_malformed(spark):
+def test_interval_overlap_count_rank_degenerate_intervals(spark):
+    """Zero-length intervals (round-10 hypothesis catch): a
+    zero-length right at exactly a zero-length left's point broke the
+    rank decomposition's subset argument (returned -1); the
+    degenerate-coincidence correction repairs it. Pins: coincident
+    degenerates -> 0; degenerate right strictly inside a real left ->
+    1; degenerate left straddled by a real right -> 1; touching ->
+    0."""
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_count_rank,
+    )
+
+    lefts = [
+        (0, 10.0, 10.0),   # degenerate left at 10
+        (1, 5.0, 15.0),    # real left containing 10
+        (2, 10.0, 20.0),   # real left STARTING at 10 (touch, no overlap)
+        (3, 30.0, 30.0),   # degenerate left at 30, straddled by (25, 35)
+    ]
+    rights = [
+        (10.0, 10.0),      # degenerate right at 10 (twice)
+        (10.0, 10.0),
+        (25.0, 35.0),      # real right straddling 30
+        (30.0, 30.0),      # degenerate right at 30
+    ]
+    ldf = spark.createDataFrame(lefts, "lid long, s double, e double")
+    rdf = spark.createDataFrame(rights, "s2 double, e2 double")
+    got = {
+        (r["lid"], r["n"])
+        for r in interval_overlap_count_rank(
+            ldf, rdf,
+            left_start=F.col("s"), left_end=F.col("e"),
+            right_start=F.col("s2"), right_end=F.col("e2"),
+            key_cols=("lid",), count_col="n", bin_seconds=8,
+        ).collect()
+    }
+    want = {
+        (li, sum(1 for (rs, re) in rights if ls < re and rs < le))
+        for (li, ls, le) in lefts
+    }
+    assert want == {(0, 0), (1, 2), (2, 0), (3, 1)}  # sanity on the brute itself
+    assert got == want
     """The rank gear's subset argument (|R.end <= L.start| a subset of
     |R.start < L.end|) requires R.start <= R.end; a malformed right
     interval would silently miscount (even negative) — so both gears

@@ -302,3 +302,127 @@ def test_ordered_running_equals_global_window(spark, data, descending, n_buckets
     for i, (rid, val) in enumerate(order, start=1):
         cum += val
         assert got[rid] == (cum, i), (rid, descending, n_buckets)
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),  # start
+        st.integers(min_value=0, max_value=200),  # length
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(lefts=interval_rows, rights=interval_rows, bin_seconds=st.sampled_from([7, 64, 1000]))
+def test_interval_overlap_count_rank_equals_brute(spark, lefts, rights, bin_seconds):
+    """The pair-free rank decomposition must equal the brute-force
+    per-left overlap count on ARBITRARY well-formed intervals —
+    zero-length spans, heavy endpoint ties, bins wider than the whole
+    domain and far narrower than any interval. (The fixed-lattice
+    unit test pins the tie boundaries; this proves there is no other
+    boundary hole.)"""
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_count_rank,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, float(s), float(s + n)) for i, (s, n) in enumerate(lefts)],
+        "lid long, s double, e double",
+    )
+    rdf = spark.createDataFrame(
+        [(float(s), float(s + n)) for (s, n) in rights], "s2 double, e2 double"
+    )
+    got = {
+        (r["lid"], r["n"])
+        for r in interval_overlap_count_rank(
+            ldf, rdf,
+            left_start=F.col("s"), left_end=F.col("e"),
+            right_start=F.col("s2"), right_end=F.col("e2"),
+            key_cols=("lid",), count_col="n", bin_seconds=bin_seconds,
+        ).collect()
+    }
+    want = {
+        (i, sum(1 for (rs, rn) in rights if s < rs + rn and rs < s + n))
+        for i, (s, n) in enumerate(lefts)
+    }
+    assert got == want
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),   # doc_id (collisions fine: tie-broken by sort stability? no — keep unique via enumerate below)
+        st.integers(min_value=1, max_value=120),  # n_tokens
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(docs=pack_rows, n_shards=st.sampled_from([1, 3, 8]), capacity=st.sampled_from([64, 128, 4096]))
+def test_greedy_pack_sharded_law(spark, docs, n_shards, capacity):
+    """On arbitrary weights/capacities: every pack respects the hard
+    cap except singletons, ids are contiguous from 0 within each
+    (group, shard), and the sharded result equals a sequential
+    first-fit replay of each shard — for ANY shard count including
+    the unsharded proof gear."""
+    from s3_rds_bq_airflow_spark.operators.packing import greedy_pack
+
+    data = [(i, "g%d" % (w % 2), w) for i, (_, w) in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, grp string, n_tokens long")
+    kw = dict(capacity=capacity, weight_col="n_tokens", order_col="doc_id",
+              group_cols=("grp",))
+    if n_shards > 1:
+        kw.update(n_shards=n_shards, shard_key="doc_id")
+    packed = greedy_pack(df, **kw).collect()
+    assert len(packed) == len(data)
+    # replay
+    groups = {}
+    for (i, g, w) in data:
+        sh = i % n_shards if n_shards > 1 else 0
+        groups.setdefault((g, sh), []).append((i, w))
+    expect = {}
+    for key, items in groups.items():
+        items.sort()
+        pid, total = 0, 0
+        for i, w in items:
+            if total > 0 and total + w > capacity:
+                pid, total = pid + 1, 0
+            expect[i] = pid
+            total += w
+    for r in packed:
+        assert r["pack_id"] == expect[r["doc_id"]], (r, n_shards, capacity)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True),
+    k=st.sampled_from([1, 5, 40]),
+    width=st.sampled_from([1, 4, 16]),
+)
+def test_bottom_k_by_md5_law(spark, rows, k, width):
+    """Two-phase capped selection == plain sorted bottom-k for any
+    (k, salt width), including k above the group size."""
+    from s3_rds_bq_airflow_spark.queries._util import bottom_k_by_md5
+
+    import hashlib
+
+    data = [(rid, rid % 3) for rid in rows]
+    df = spark.createDataFrame(data, "rid long, g int")
+    got = sorted(
+        (r["g"], r["rid"])
+        for r in bottom_k_by_md5(
+            df, group_cols=("g",), id_col="rid", k=k, salt_width=width
+        ).collect()
+    )
+    by_group = {}
+    for rid, g in data:
+        by_group.setdefault(g, []).append(rid)
+    want = sorted(
+        (g, rid)
+        for g, ids in by_group.items()
+        for rid in sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))[:k]
+    )
+    assert got == want
