@@ -426,3 +426,76 @@ def test_bottom_k_by_md5_law(spark, rows, k, width):
         for rid in sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))[:k]
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    qvals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=20),
+    pvals=st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=30),
+    ties_count=st.booleans(),
+    bin_seconds=st.sampled_from([3, 64]),
+)
+def test_merge_count_equals_brute_rank(spark, qvals, pvals, ties_count, bin_seconds):
+    """_merge_count == the literal rank definition on arbitrary values
+    with heavy ties, negatives (negative bins exercise floor
+    semantics), and empty point sets — under both tie modes."""
+    from s3_rds_bq_airflow_spark.operators.temporal import _merge_count
+
+    q = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(qvals)], "qid long, v double"
+    )
+    p = spark.createDataFrame(
+        [(float(v),) for v in pvals], "pv double"
+    ) if pvals else spark.createDataFrame([], "pv double")
+    got = {
+        (r["qid"], r["n"])
+        for r in _merge_count(
+            q, F.col("v"), p, F.col("pv"),
+            key_cols=("qid",), count_col="n",
+            ties_count=ties_count, bin_seconds=bin_seconds,
+        ).collect()
+    }
+    want = {
+        (i, sum(1 for x in pvals if (x <= v if ties_count else x < v)))
+        for i, v in enumerate(qvals)
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(lefts=interval_rows, rights=interval_rows, bucket=st.sampled_from([7, 64, 1000]))
+def test_interval_overlap_join_binned_equals_brute_pairs(spark, lefts, rights, bucket):
+    """The binned PAIR operator must emit exactly the brute-force
+    overlap pairs, as a MULTISET (duplicate input intervals yield
+    duplicate pairs, no distinct-collapse), for arbitrary intervals
+    including zero-length ones and any bucket width."""
+    from collections import Counter
+
+    from s3_rds_bq_airflow_spark.operators.temporal import (
+        interval_overlap_join_binned,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, float(s), float(s + n)) for i, (s, n) in enumerate(lefts)],
+        "lid long, s double, e double",
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(s), float(s + n)) for j, (s, n) in enumerate(rights)],
+        "rid long, s2 double, e2 double",
+    )
+    got = Counter(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join_binned(
+            ldf, rdf,
+            left_start=F.col("s"), left_end=F.col("e"),
+            right_start=F.col("s2"), right_end=F.col("e2"),
+            bucket_seconds=bucket,
+        ).collect()
+    )
+    want = Counter(
+        (i, j)
+        for i, (ls, ln) in enumerate(lefts)
+        for j, (rs, rn) in enumerate(rights)
+        if ls < rs + rn and rs < ls + ln
+    )
+    assert got == want
