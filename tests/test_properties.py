@@ -499,3 +499,41 @@ def test_interval_overlap_join_binned_equals_brute_pairs(spark, lefts, rights, b
         if ls < rs + rn and rs < ls + ln
     )
     assert got == want
+
+
+set_family = st.lists(
+    st.sets(st.integers(min_value=0, max_value=20), min_size=1, max_size=10),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(sets=set_family, tau=st.sampled_from([(1, 2), (3, 10), (9, 10), (1, 1)]))
+def test_setsim_join_equals_brute_jaccard(spark, sets, tau):
+    """PPJoin (prefix filter + length filter + verify) must emit
+    EXACTLY the brute-force Jaccard-threshold pairs on arbitrary set
+    families — tiny overlapping universes make prefix collisions and
+    boundary thresholds (tau = 1 exact-duplicates gear included)
+    maximally likely, the regime where an off-by-one in the prefix
+    length silently drops pairs."""
+    from fractions import Fraction
+
+    from s3_rds_bq_airflow_spark.operators.setsim import setsim_join
+
+    tau_num, tau_den = tau
+    elems = spark.createDataFrame(
+        [(i, h) for i, s in enumerate(sets) for h in s], "_id long, _h long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["n_union"])
+        for r in setsim_join(elems, tau_num, tau_den).collect()
+    }
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if inter and Fraction(inter, union) >= Fraction(tau_num, tau_den):
+                want.add((i, j, inter, union))
+    assert got == want
