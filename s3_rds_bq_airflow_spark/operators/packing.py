@@ -93,9 +93,27 @@ def greedy_pack(
     if n_shards > 1:
         if shard_key is None:
             raise ValueError("greedy_pack: n_shards > 1 requires shard_key")
+        # Folded non-negativity check (the temporal.py convention):
+        # F.pmod is non-negative while a SQL oracle's `%` keeps the
+        # sign, so a negative shard_key would be a SILENT parity break
+        # — raise instead, riding the used expression so pruning
+        # can't drop the check.
+        key = F.col(shard_key).cast("long")
         df = df.withColumn(
             "pack_shard",
-            F.pmod(F.col(shard_key).cast("long"), F.lit(n_shards)).cast("int"),
+            F.when(
+                key >= 0, F.pmod(key, F.lit(n_shards))
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"greedy_pack: shard_key {shard_key!r} must be "
+                            "non-negative (pmod vs SQL % parity), got "
+                        ),
+                        F.coalesce(key.cast("string"), F.lit("NULL")),
+                    )
+                ).cast("long")
+            ).cast("int"),
         )
         group_cols = (*group_cols, "pack_shard")
     out_schema = T.StructType(list(df.schema.fields) + _PACK_SCHEMA_SUFFIX)

@@ -46,10 +46,27 @@ def grouped_ols_moments(
     are plain IEEE scalar ops — bit-replayable by a SQL oracle that
     mirrors the same expression tree. Degenerate groups follow
     `grouped_ols`: zero x-variance -> slope 0, intercept = mean(y);
-    zero y-variance (given slope 0) -> R^2 1."""
+    zero y-variance (given slope 0) -> R^2 1.
+
+    NULL x/y raises (the temporal operators' folded-check
+    convention): ``n`` counts every group row while ``F.sum`` skips
+    NULLs, so a NULL input would silently fit a line over
+    INCONSISTENT moments (n includes rows the sums exclude) — the
+    check rides the used cast expression so column pruning can't
+    drop it."""
 
     def _d(c: str) -> Column:
-        return F.col(c).cast(sum_type)
+        # Folded into the USED sum input (not a dropped audit column):
+        # a NULL would desynchronize n from the moment sums.
+        return (
+            F.when(
+                F.col(c).isNotNull(), F.col(c).cast(sum_type)
+            ).otherwise(
+                F.raise_error(
+                    F.lit(f"grouped_ols_moments: NULL in column {c!r}")
+                ).cast(sum_type)
+            )
+        )
 
     m = (
         df.select(F.col(group_col), _d(x_col).alias("__x"), _d(y_col).alias("__y"))

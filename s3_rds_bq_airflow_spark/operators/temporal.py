@@ -406,7 +406,16 @@ def interval_overlap_count_rank(
     upstream plan (e.g. q_interval_overlap's spans groupBy over the
     full events table) executes twice (the semantic_dedup_keep_one
     persist rationale; the handful-of-columns projection is tiny
-    relative to recomputing the upstream plan)."""
+    relative to recomputing the upstream plan).
+
+    Cache lifetime (the similarity.py persist convention): the
+    operator returns a LAZY frame, so it cannot unpersist at the
+    right moment itself — the blocks stay registered until the
+    session ends or the block manager LRU-evicts them (the default
+    MEMORY_AND_DISK level is evictable; an evicted block recomputes,
+    it does not fail). Callers looping this operator over many
+    inputs and needing deterministic release can
+    ``spark.catalog.clearCache()`` between calls."""
 
     def _checked(primary: Column, start: Column, end: Column, side: str) -> Column:
         # NULL start/end fails the <= and lands in the raise branch;

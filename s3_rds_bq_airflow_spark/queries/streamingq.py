@@ -235,9 +235,15 @@ def q_stream_static_join(spark, sf_dir):
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
 
+    # No broadcast hint: customer is an SF-scaling table (~1.5B rows
+    # at 100-TB SF), the same derived-payload class as the r10/r11
+    # forced-broadcast removals. Size-based planning still broadcasts
+    # the static side at bench SFs (parquet stats are visible to each
+    # micro-batch plan) and degrades to a shuffled stream-static join
+    # when the dimension outgrows the threshold.
     def build(stream):
         return (
-            stream.join(F.broadcast(cust), "user_id")
+            stream.join(cust, "user_id")
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),

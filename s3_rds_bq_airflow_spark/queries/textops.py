@@ -1525,8 +1525,13 @@ def q_skipgram_cooccur(spark, sf_dir):
     ux = uni.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
     uy = uni.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
     scored = (
-        pairs.join(F.broadcast(ux), "x")
-        .join(F.broadcast(uy), "y")
+        # Unigram marginals are vocabulary-sized (Heaps-sublinear, but
+        # still ~1e8+ distinct tokens on noisy web-scale text) — no
+        # forced hint; size-based planning broadcasts them at bench SF
+        # and shuffles the equi-join when the vocab outgrows the
+        # threshold.
+        pairs.join(ux, "x")
+        .join(uy, "y")
         .crossJoin(F.broadcast(tot))
         .select(
             "x",

@@ -287,3 +287,261 @@ def test_grouped_pandas_detector_fires(tmp_path):
     hits = [line for rel, line in _grouped_pandas_sites(tmp_path)]
     assert len(hits) == 2, hits
     assert all(not any(k in h for k in GROUPED_PANDAS_OK.get("rogue.py", {})) for h in hits)
+
+
+# ---------------------------------------------------------------------------
+# Audit #6 (round-11): forced-broadcast cardinality bounds.
+#
+# `F.broadcast(x)` OVERRIDES Spark's size check — the hint ships x to
+# every executor no matter how big it grows (the builder's own
+# round-10 rationale for removing 22 hints from SF-scaling relation
+# scans). The plan-level sweep (`plans.inspect.unbounded_broadcast_
+# scans`) treats ANY aggregate/limit/selective-filter between the
+# scan and the exchange as bounding — correct for "whole relation
+# shipped verbatim", blind to a DERIVED payload whose cardinality
+# still scales with the data: an aggregate grouped on an entity key
+# (user_id -> ~1.5B rows at 100-TB SF), or a constant-selectivity
+# filter (one month of orders = an SF-scaling fraction). Round 10's
+# verdict found two exactly-that sites (q_cohort_retention,
+# q_bloom_prefilter — both FIXED this round, plus two more the sweep
+# construction surfaced: q_stream_static_join's full-customer hint
+# and q_skipgram_cooccur's vocabulary marginals, all four now
+# size-planned instead of forced).
+#
+# This source-level sweep closes the blind spot the way the collect /
+# grouped-pandas / explode-sequence audits do: every F.broadcast call
+# site must carry a documented CARDINALITY bound below — 1-row
+# scalar, config-sized (sketch cells, codebooks, centroids, caps),
+# enum-sized domain (nation/region, event_type, source, split, lang,
+# weekday), query-sized (one probe vector / seed term list), a
+# caller contract on an operator surface, or an explicitly
+# adjudicated brute-verification twin. An undocumented site fails
+# the scan and forces the author to state the bound. Bounds keyed on
+# user_id/doc_id/vec_id-class grouping keys are NOT acceptable
+# entries: fix the site, don't allowlist it.
+# ---------------------------------------------------------------------------
+
+FORCED_BROADCAST_OK = {
+    "streaming/enrich.py": {
+        "F.broadcast(spark.read.parquet(dim_path))": (
+            "operator surface, caller contract: dim_path is the DIMENSION "
+            "side of a stream enrichment; the per-micro-batch re-read IS "
+            "the as-of semantics, and the caller owns the dim-sized bound "
+            "(same contract class as grouped_ols in GROUPED_PANDAS_OK)"
+        ),
+    },
+    "operators/geo.py": {
+        "unresolved.crossJoin(F.broadcast(right.select(right_key, rlat, rlng)))": (
+            "brute fallback over the UNRESOLVED residue only (left points "
+            "with no neighbor within one grid cell — empty under the "
+            "operator's density contract); the scale path is the cell "
+            "equi-join + 3x3 probe above it"
+        ),
+    },
+    "operators/rangebucket.py": {
+        "df.join(F.broadcast(bounds))": "1-row percentile_approx sketch (boundary array)",
+        'left.join(F.broadcast(right), before, "left")': (
+            "triangular self-join over btot — n_buckets rows (config; "
+            "4-entry single-partition allowlist family)"
+        ),
+        'out = bucketed.join(F.broadcast(off), "_bkt")': "per-bucket offsets — n_buckets rows (config)",
+    },
+    "operators/temporal.py": {
+        'counted.join(F.broadcast(prefix), "__bin")': (
+            "per-bin prefix sums — bin domain = calendar span / "
+            "bin_seconds (config ratio), not a row count"
+        ),
+    },
+    "operators/heavyhitters.py": {
+        'items.join(F.broadcast(cands), "item", "leftsemi")': (
+            "Misra-Gries candidate set — <= 1/theta rows (config)"
+        ),
+        ".crossJoin(F.broadcast(total))": "1-row global count",
+    },
+    "operators/pq.py": {
+        "cents = F.broadcast(": "PQ codebook — n_subspaces * n_codes rows (config)",
+        'codebook.withColumn("__cn", query_norm_double': (
+            "PQ codebook + hoisted norms — n_subspaces * n_codes rows (config)"
+        ),
+        'lut = codebook.join(F.broadcast(qsub), "m")': "ONE query's subvectors — n_subspaces rows",
+        'encoded.join(F.broadcast(lut), ["m", "code"])': "ADC lookup table — n_subspaces * n_codes rows (config)",
+    },
+    "operators/curriculum.py": {
+        "df.join(F.broadcast(bounds), on=split_col": "per-split bounds — split-label domain (<= handful)",
+    },
+    "operators/ivf.py": {
+        "cents = F.broadcast(": "IVF centroids — n_centroids rows (config)",
+        'centroids.withColumn("__cn", query_norm_double': (
+            "IVF centroids + hoisted norms — n_centroids rows (config)"
+        ),
+        "centroids.crossJoin(F.broadcast(q))": "ONE query vector",
+        'assigned.join(F.broadcast(probe_cells), "cid")': "probed cell ids — nprobe rows (config)",
+    },
+    "operators/similarity.py": {
+        "q = F.broadcast(": "2 sites: ONE query vector (point lookup)",
+        "p = F.broadcast(": (
+            "2 sites (int3/float gears of the same probe scorer): probe "
+            "set — operator surface, caller contract; declared callers "
+            "pass a handful of probe vectors"
+        ),
+        "exclude_pairs.select(": (
+            "caller contract: exclusion list rides the probe set's "
+            "query-sized bound (declared caller passes known-positive "
+            "pairs of the probes)"
+        ),
+    },
+    "queries/eventsops.py": {
+        "agg.crossJoin(F.broadcast(mx))": "1-row global max(ts)",
+        "contrib.crossJoin(F.broadcast(bounds))": "1-row (min, max) date bounds",
+    },
+    "queries/textops.py": {
+        ".crossJoin(F.broadcast(n_docs))": "1-row corpus count",
+        ".crossJoin(F.broadcast(tot))": "3 sites: 1-row totals",
+        "vocab = vocab.crossJoin(F.broadcast(top)).select(": (
+            "2 sites: top-vocabulary cap — config-sized limit applied "
+            "distributedly before the broadcast"
+        ),
+        "ranked.crossJoin(F.broadcast(m1))": "1-row moment",
+        ".crossJoin(F.broadcast(m2))": "1-row moment",
+        '.join(F.broadcast(sa), "source_a")': "2 sites: per-source aggregate — source enum (5 values)",
+        '.join(F.broadcast(sb), "source_b")': "2 sites: per-source aggregate — source enum (5 values)",
+        '.join(F.broadcast(ns), "source")': "per-source aggregate — source enum (5 values)",
+        ".crossJoin(F.broadcast(ng))": "1-row global",
+        "sc.crossJoin(F.broadcast(stats)).select(": "1-row corpus stats",
+    },
+    "queries/windows.py": {
+        'F.broadcast(t(spark, sf_dir, "nation"))': "nation — fixed 25-row TPC-H domain",
+        "ranked.crossJoin(F.broadcast(n))": "1-row count",
+    },
+    "queries/statsq.py": {
+        "supp = F.broadcast(": (
+            "2 sites (q_nearest_supplier, q_haversine_nearest): "
+            "adjudicated brute-verification twins of the bucketed geo "
+            "gear (operators/geo.py) — SF-scaling BY DESIGN, documented "
+            "in both docstrings; the 100-TB path is the grid equi-join"
+        ),
+        ".crossJoin(F.broadcast(tot))": "2 sites: 1-row totals",
+        'dev = ev.join(F.broadcast(med), "event_type").select(': "per-event_type median — enum-sized",
+        'dord.join(F.broadcast(mad), "event_type")': "per-event_type MAD — enum-sized",
+        'probe_pos.join(F.broadcast(cells), ["j", "c"])': "Count-Min cells — d*w rows (config)",
+        'j = li.join(F.broadcast(bounds), "l_returnflag")': "per-returnflag bounds — 3-value enum",
+        'j = daily.join(F.broadcast(base), "wd")': "per-weekday baseline — 7 rows",
+    },
+    "queries/relational.py": {
+        'nation = F.broadcast(t(spark, sf_dir, "nation"))': "2 sites: nation — fixed 25-row domain",
+        'region = F.broadcast(t(spark, sf_dir, "region")': "region — fixed 5-row domain",
+    },
+    "queries/searchops.py": {
+        'tf.join(F.broadcast(top.select("term")), "term")': "top query terms — config-sized cap",
+        "pd.crossJoin(F.broadcast(sc))": "1-row corpus stats",
+        "corpus.join(F.broadcast(qz))": "ONE query vector",
+        'a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))': (
+            "MMR candidate self-join — both sides <= _MMR_CAND rows "
+            "(config limit applied before the join)"
+        ),
+        ".crossJoin(F.broadcast(st))": "3 sites: 1-row corpus stats",
+        'tw.join(F.broadcast(terms), "w")': "seed + expansion terms — _PRF_EXP_TERMS cap (config)",
+    },
+    "queries/relational2.py": {
+        'n1 = F.broadcast(t(spark, sf_dir, "nation"))': "2 sites: nation — fixed 25-row domain",
+        'n2 = F.broadcast(t(spark, sf_dir, "nation"))': "2 sites: nation — fixed 25-row domain",
+        'region = F.broadcast(t(spark, sf_dir, "region")': "region — fixed 5-row domain",
+        'nation = F.broadcast(t(spark, sf_dir, "nation"))': "2 sites: nation — fixed 25-row domain",
+        'F.broadcast(t(spark, sf_dir, "nation")).where(': "nation point-filtered — <= 25 rows",
+        "cust.crossJoin(F.broadcast(avg_pos))": "1-row average",
+        "F.broadcast(mx)": "2 sites: per-mktsegment max — 5-value enum",
+        "cust.join(F.broadcast(pick), cust.c_custkey == pick.pick_key)": "per-mktsegment argmax pick — 5 rows",
+        "v.crossJoin(F.broadcast(thr))": "1-row threshold",
+        ".crossJoin(F.broadcast(now_d))": "1-row anchor date",
+        ".crossJoin(F.broadcast(tot)).select(": "2 sites: 1-row totals",
+    },
+    "queries/skewq.py": {
+        'F.broadcast(t(spark, sf_dir, "nation"))': "nation — fixed 25-row domain",
+        "key_counts.crossJoin(F.broadcast(tot))": "1-row total",
+    },
+    "queries/trainprep.py": {
+        'docs.join(F.broadcast(counts), "lang")': "per-lang counts — language enum",
+        ".crossJoin(F.broadcast(n_min))": "1-row minimum",
+        ".crossJoin(F.broadcast(leak_count))": "1-row count",
+    },
+    "queries/funnelq.py": {
+        ".crossJoin(F.broadcast(horizon))": "1-row max(ts) horizon",
+    },
+    "queries/ingestion.py": {
+        "counts.crossJoin(F.broadcast(tot)).select(": "1-row total",
+    },
+    "queries/similarity.py": {
+        "cents.crossJoin(F.broadcast(q))": "ONE query vector",
+        'assigned.join(F.broadcast(probe_cells), "cid")': "probed cell ids — _IVFPQ_PROBE rows (config)",
+        ".crossJoin(F.broadcast(n))": "1-row count",
+        'ls = sums.join(F.broadcast(counts), "label")': "per-label counts — label enum",
+    },
+}
+
+_FORCED_BROADCAST = re.compile(r"F\.broadcast\s*\(")
+
+
+def _forced_broadcast_sites(pkg: Path = PKG):
+    """Yield (rel_path, snippet) per F.broadcast call site. The
+    snippet is the call line plus the NEXT source line (stripped,
+    space-joined) so multi-line calls whose first line is just
+    `F.broadcast(` still get a distinctive key."""
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if _FORCED_BROADCAST.search(line) and not line.lstrip().startswith("#"):
+                nxt = lines[i + 1].strip() if i + 1 < len(lines) else ""
+                yield rel, (line.strip() + " " + nxt).strip()
+
+
+def test_every_forced_broadcast_documents_its_cardinality_bound():
+    undocumented = []
+    for rel, snippet in _forced_broadcast_sites():
+        allowed = FORCED_BROADCAST_OK.get(rel, {})
+        if not any(key in snippet for key in allowed):
+            undocumented.append((rel, snippet))
+    assert not undocumented, (
+        "F.broadcast hint without a documented cardinality bound (the "
+        "hint OVERRIDES the size check, so an SF-scaling payload ships "
+        "to every executor — add to FORCED_BROADCAST_OK with the bound, "
+        f"or drop the hint and let size-based planning decide): {undocumented}"
+    )
+
+
+def test_forced_broadcast_audit_is_not_stale():
+    sites = list(_forced_broadcast_sites())
+    for rel, allowed in FORCED_BROADCAST_OK.items():
+        for key in allowed:
+            assert any(r == rel and key in s for r, s in sites), (
+                f"stale forced-broadcast audit entry: {rel} :: {key}"
+            )
+
+
+def test_forced_broadcast_detector_fires(tmp_path):
+    rogue = tmp_path / "rogue.py"
+    rogue.write_text(
+        'e.join(F.broadcast(e.groupBy("user_id").agg(F.min("ts"))), "user_id")\n'
+        "x = F.broadcast(\n"
+        '    big.groupBy("doc_id").count()\n'
+        ")\n"
+        "# F.broadcast( in a comment is not a call site\n"
+    )
+    hits = [s for rel, s in _forced_broadcast_sites(tmp_path)]
+    assert len(hits) == 2, hits
+    # the multi-line site's snippet carries the NEXT line, so the
+    # doc_id aggregate is visible to a reviewer of the failure message
+    assert any("doc_id" in s for s in hits), hits
+
+
+def test_no_direct_broadcast_import():
+    """`from pyspark.sql.functions import broadcast` would let a call
+    site spell itself `broadcast(x)` and walk past the F.broadcast
+    scan — the audit holds only if the canonical spelling is the ONLY
+    spelling in the package."""
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        text = path.read_text()
+        if re.search(r"from\s+pyspark\.sql\.functions\s+import\s+[^\n]*\bbroadcast\b", text):
+            offenders.append(str(path.relative_to(PKG)))
+    assert not offenders, f"direct broadcast import bypasses audit #6: {offenders}"

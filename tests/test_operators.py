@@ -496,6 +496,9 @@ def test_interval_overlap_count_rank_degenerate_intervals(spark):
     }
     assert want == {(0, 0), (1, 2), (2, 0), (3, 1)}  # sanity on the brute itself
     assert got == want
+
+
+def test_interval_overlap_count_rank_rejects_malformed(spark):
     """The rank gear's subset argument (|R.end <= L.start| a subset of
     |R.start < L.end|) requires R.start <= R.end; a malformed right
     interval would silently miscount (even negative) — so both gears

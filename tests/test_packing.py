@@ -100,3 +100,19 @@ def test_greedy_sharded_requires_shard_key(spark):
             _docs(spark), capacity=200, weight_col="n_tokens",
             order_col="doc_id", group_cols=("grp",), n_shards=4,
         )
+
+
+def test_greedy_sharded_rejects_negative_shard_key(spark):
+    """F.pmod is non-negative while the DuckDB oracle's % keeps the
+    sign — a negative shard_key would be a silent parity break, so
+    the folded check raises at execution (round-10 advisor note)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", -3, 10), ("a", 1, 10)], "grp string, doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        greedy_pack(
+            df, capacity=200, weight_col="n_tokens", order_col="doc_id",
+            group_cols=("grp",), n_shards=4, shard_key="doc_id",
+        ).collect()

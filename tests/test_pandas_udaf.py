@@ -166,3 +166,25 @@ def test_cogrouped_asof_equals_jvm_asof(spark, sf_dir):
     import pandas as _pd
 
     _pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_grouped_ols_moments_raises_on_null_input(spark):
+    """n counts every group row while F.sum skips NULLs — a NULL x/y
+    would silently fit a line over inconsistent moments, so the
+    folded check raises instead (round-10 advisor note; the temporal
+    operators' convention)."""
+    import pytest
+
+    from s3_rds_bq_airflow_spark.operators.pandas_udaf import grouped_ols_moments
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", None, 4.0)], "g string, x double, y double"
+    )
+    with pytest.raises(Exception, match="NULL in column 'x'"):
+        grouped_ols_moments(df, group_col="g", x_col="x", y_col="y").collect()
+
+    df2 = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 3.0, None)], "g string, x double, y double"
+    )
+    with pytest.raises(Exception, match="NULL in column 'y'"):
+        grouped_ols_moments(df2, group_col="g", x_col="x", y_col="y").collect()
