@@ -51,6 +51,83 @@ CLEAN_RECORD_COMMIT = "3758220"
 # A hot reading more than 15% over the record triggers the old-commit
 # control; readings inside the band are normal variance.
 HOT_THRESHOLD = 1.15
+# Re-pin escape valve (round-11, codifying the round-9 prose
+# criterion): when the box produces NO cool window for this many
+# consecutive driver sessions (every recorded control_ratio >=
+# HOT_THRESHOLD), the round-6 absolute record is stale-by-epoch and
+# the adjudication re-pins to the best CONTROL-NORMALIZED reading of
+# the hot streak — value * (CLEAN_RECORD_S / control_s), i.e. what
+# HEAD would have read on the record's own box temperature. The
+# normalization basis is recorded in the emitted JSON line.
+REPIN_AFTER_HOT_SESSIONS = 3
+
+
+def _driver_bench_history(repo: str) -> list[dict]:
+    """Embedded bench JSON lines from the driver's BENCH_r*.json
+    records (round order). Each driver record wraps our stdout in a
+    "tail" field; unreadable records yield an empty marker dict so a
+    gap conservatively breaks any hot streak."""
+    import glob
+    import re
+
+    out: list[dict] = []
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        doc: dict = {}
+        try:
+            rec = json.loads(open(path).read())
+            for ln in rec.get("tail", "").splitlines():
+                ln = ln.strip()
+                if ln.startswith("{") and '"metric"' in ln:
+                    doc = json.loads(ln)
+        except Exception:
+            doc = {}
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        doc["_round"] = int(m.group(1)) if m else -1
+        out.append(doc)
+    return out
+
+
+def effective_record(repo: str) -> tuple[float, dict | None]:
+    """(record_s, repin_basis): the record to adjudicate against.
+
+    Walks the TRAILING consecutive driver sessions at sf0.1 whose
+    control_ratio >= HOT_THRESHOLD (a cool session, a session that
+    needed no control, or an unreadable record breaks the streak).
+    Streak >= REPIN_AFTER_HOT_SESSIONS -> re-pin to the streak's best
+    control-normalized reading; otherwise the pinned absolute record
+    stands. Never raises — adjudication must not fail the bench."""
+    try:
+        history = _driver_bench_history(repo)
+        streak: list[dict] = []
+        for doc in reversed(history):
+            ratio = doc.get("control_ratio")
+            if (
+                doc.get("sf") == 0.1
+                and isinstance(ratio, (int, float))
+                and ratio >= HOT_THRESHOLD
+                and doc.get("control_s")
+            ):
+                streak.append(doc)
+            else:
+                break
+        if len(streak) >= REPIN_AFTER_HOT_SESSIONS:
+            normalized = [
+                (
+                    round(d["value"] * CLEAN_RECORD_S / d["control_s"], 3),
+                    d["_round"],
+                )
+                for d in streak
+            ]
+            best_s, best_round = min(normalized)
+            return best_s, {
+                "from_round": best_round,
+                "hot_streak": [d["_round"] for d in streak],
+                "normalization": "value * CLEAN_RECORD_S / control_s",
+                "pinned_record_s": CLEAN_RECORD_S,
+            }
+    except Exception:
+        pass
+    return CLEAN_RECORD_S, None
 
 
 def run_noise_control(commit: str) -> float | None:
@@ -204,7 +281,16 @@ def main() -> None:
     # forced-hot demo hook); SPARK_GRAFT_BENCH_NO_CONTROL=1 disables
     # (set inside control runs to terminate the recursion).
     record_env = os.environ.get("SPARK_GRAFT_BENCH_RECORD_S")
-    record_s = float(record_env) if record_env else CLEAN_RECORD_S
+    if record_env:
+        record_s = float(record_env)
+    else:
+        record_s, repin_basis = effective_record(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        if repin_basis is not None:
+            doc["record_s"] = record_s
+            doc["record_repinned"] = True
+            doc["repin_basis"] = repin_basis
     at_record_sf = sf_val == 0.1 or record_env is not None
     if (
         at_record_sf

@@ -46,11 +46,23 @@ from . import privacyq  # noqa: E402,F401
 from . import tiering
 from .registry import _ORACLES, _QUERIES
 
+# Plan-rewritten this round (round 11: the four forced-broadcast
+# removals — semantics identical, plans different), so their old
+# hash-green rows describe retired plans; surface them for fresh
+# driver evidence. PRUNE once CORRECTNESS_r11 lands green.
+_REFRESH_R11 = (
+    "q_cohort_retention",
+    "q_bloom_prefilter",
+    "q_stream_static_join",
+    "q_skipgram_cooccur",
+)
+
 deprioritize(
     tiering.derive_deprioritized(
         registered=list(_QUERIES),
         oracle_backed=set(_ORACLES),
         latest_green=tiering.load_latest_green(),
+        refresh=_REFRESH_R11,
     )
 )
 

@@ -66,15 +66,28 @@ def derive_deprioritized(
     registered: list[str],
     oracle_backed: set[str],
     latest_green: dict[str, int],
+    refresh: tuple[str, ...] = (),
 ) -> tuple[str, ...]:
     """Names to move to the END of iteration order, in that end-order.
 
     Everything except unverified oracle-backed queries is deprioritized:
     greens sorted oldest-evidence-first (stable on registration order),
     then rows-only (no-oracle) queries last.
+
+    ``refresh`` names are treated as UNVERIFIED regardless of their
+    green history — the hook for queries whose PLAN was rewritten this
+    round (semantics unchanged, so the old hash-green row still
+    describes the old plan, not the shipped one): they surface at the
+    head of the budget for fresh driver evidence against the current
+    code. The caller owns pruning the list once the evidence lands.
     """
     reg_index = {n: i for i, n in enumerate(registered)}
-    greens = [n for n in registered if n in latest_green and n in oracle_backed]
+    refresh_set = set(refresh)
+    greens = [
+        n
+        for n in registered
+        if n in latest_green and n in oracle_backed and n not in refresh_set
+    ]
     greens.sort(key=lambda n: (latest_green[n], reg_index[n]))
     rows_only = [n for n in registered if n not in oracle_backed]
     return tuple(greens + rows_only)

@@ -58,21 +58,48 @@ def test_live_catalog_ordering():
     rows-only sketches are dead last; unverified (if any) lead."""
     import __spark_entry__ as entrymod
 
+    from s3_rds_bq_airflow_spark.queries import _REFRESH_R11
+
     names = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     latest = tiering.load_latest_green()
+    # plan-rewritten queries ride the unverified tier this round
+    fresh = set(_REFRESH_R11)
 
     # rows-only sketches close the list
     rows_only = [n for n in names if n not in oracles]
     assert names[-len(rows_only):] == rows_only
 
     # among oracle-backed greens, latest-green rounds are non-decreasing
-    green_rounds = [latest[n] for n in names if n in oracles and n in latest]
+    green_rounds = [
+        latest[n] for n in names if n in oracles and n in latest and n not in fresh
+    ]
     assert green_rounds == sorted(green_rounds)
 
-    # unverified oracle-backed queries (new this round) all precede
-    # every green one
-    unverified_idx = [i for i, n in enumerate(names) if n in oracles and n not in latest]
-    green_idx = [i for i, n in enumerate(names) if n in oracles and n in latest]
+    # unverified (or refresh-flagged) oracle-backed queries all
+    # precede every green one
+    unverified_idx = [
+        i
+        for i, n in enumerate(names)
+        if n in oracles and (n not in latest or n in fresh)
+    ]
+    green_idx = [
+        i
+        for i, n in enumerate(names)
+        if n in oracles and n in latest and n not in fresh
+    ]
     if unverified_idx and green_idx:
         assert max(unverified_idx) < min(green_idx)
+
+
+def test_refresh_names_surface_at_head():
+    """A refresh-flagged green is excluded from the deprioritized
+    tuple (it stays in registration order at the head), everything
+    else unchanged."""
+    registered = ["a", "b", "c", "d"]
+    oracles = {"a", "b", "c", "d"}
+    latest = {"a": 3, "b": 5, "c": 4, "d": 6}
+    base = tiering.derive_deprioritized(registered, oracles, latest)
+    assert base == ("a", "c", "b", "d")
+    got = tiering.derive_deprioritized(registered, oracles, latest, refresh=("b",))
+    assert got == ("a", "c", "d")  # b no longer deprioritized
