@@ -535,13 +535,19 @@ def test_forced_broadcast_detector_fires(tmp_path):
 
 
 def test_no_direct_broadcast_import():
-    """`from pyspark.sql.functions import broadcast` would let a call
-    site spell itself `broadcast(x)` and walk past the F.broadcast
-    scan — the audit holds only if the canonical spelling is the ONLY
-    spelling in the package."""
+    """Alternative spellings of a forced broadcast would walk past
+    the F.broadcast scan: a direct import (`broadcast(x)`), the
+    DataFrame hint API (`df.hint("broadcast")`), or a SQL hint
+    comment (`/*+ BROADCAST(t) */`). The audit holds only if the
+    canonical spelling is the ONLY spelling in the package."""
     offenders = []
     for path in sorted(PKG.rglob("*.py")):
         text = path.read_text()
-        if re.search(r"from\s+pyspark\.sql\.functions\s+import\s+[^\n]*\bbroadcast\b", text):
-            offenders.append(str(path.relative_to(PKG)))
-    assert not offenders, f"direct broadcast import bypasses audit #6: {offenders}"
+        for pat, why in (
+            (r"from\s+pyspark\.sql\.functions\s+import\s+[^\n]*\bbroadcast\b", "direct import"),
+            (r"\.hint\(\s*['\"](?:broadcast|broadcastjoin|mapjoin)['\"]", "DataFrame hint API"),
+            (r"/\*\+\s*(?:BROADCAST|BROADCASTJOIN|MAPJOIN)\b", "SQL hint comment"),
+        ):
+            if re.search(pat, text, re.IGNORECASE):
+                offenders.append((str(path.relative_to(PKG)), why))
+    assert not offenders, f"broadcast spelling bypasses audit #6: {offenders}"

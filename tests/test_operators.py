@@ -560,3 +560,20 @@ def test_merge_count_null_inputs(spark):
             qnull, F.col("v"), p, F.col("pv"),
             key_cols=("qid",), count_col="n", ties_count=False, bin_seconds=32,
         ).collect()
+
+
+def test_bloom_m_python_equals_sql_twin():
+    """The adaptive bloom sizing (m = next power of two >= 16*n_build,
+    clamped to [2^13, 2^17]) is computed independently in Python (the
+    Spark side) and in SQL (the DuckDB oracle's params CTE) — any
+    disagreement is a silent parity break, so pin them equal across
+    the clamp edges and the power-of-two boundaries."""
+    import duckdb
+
+    from s3_rds_bq_airflow_spark.queries.skewq import _BLOOM_M_SQL, _bloom_m
+
+    con = duckdb.connect()
+    for n in (0, 1, 180, 511, 512, 513, 1024, 4096, 8191, 8192, 8193, 100000, 10**9):
+        sql = f"WITH build AS (SELECT * FROM range({n})) {_BLOOM_M_SQL.replace('COUNT(*)', 'COUNT(*)')}"
+        got = con.execute(sql).fetchone()[0]
+        assert got == _bloom_m(n), (n, got, _bloom_m(n))
