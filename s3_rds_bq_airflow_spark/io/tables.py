@@ -11,6 +11,7 @@ parallelizes across the cluster.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -32,6 +33,17 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+# Per-session cache of UNRESOLVED LOGICAL PLANS (lazy DataFrames), not
+# data: building a table DataFrame re-reads parquet footers for schema
+# inference and pays tens of py4j round-trips, which measured at
+# 0.1-0.7 s per query at bench SF — driver-side planning cost, not
+# computation (optimization guide §7.3). Every action on a cached
+# frame still scans parquet; nothing materialized is held. Keyed by
+# session (weakly — a stopped session's entries are collectable) and
+# by the file's (mtime, size) so a rewritten table is re-planned.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Columns/filters prune+push down via Catalyst.
 
@@ -40,11 +52,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microsecond timestamps (same truncation DuckDB applies casting
     TIMESTAMP_NS -> TIMESTAMP).
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # let spark.read raise its own error below
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    if key is not None and key in per_session:
+        return per_session[key]
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf locked down — fall through and let the read try
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     ns_cols = [f.name for f in df.schema.fields if f.name == "ts" and f.dataType.simpleString() == "bigint"]
     for c in ns_cols:
         # Wall-clock (NTZ) semantics in ANY session timezone, matching
@@ -57,6 +78,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.timestamp_micros(F.expr(f"{c} div 1000")), F.current_timezone()
             ).cast("timestamp_ntz"),
         )
+    if key is not None:
+        per_session[key] = df
     return df
 
 

@@ -47,14 +47,17 @@ from . import tiering
 from .registry import _ORACLES, _QUERIES
 
 # Plan-rewritten this round (round 11: the four forced-broadcast
-# removals — semantics identical, plans different), so their old
-# hash-green rows describe retired plans; surface them for fresh
-# driver evidence. PRUNE once CORRECTNESS_r11 lands green.
+# removals + the two optimization-round rewrites — semantics
+# identical, plans different), so their old hash-green rows describe
+# retired plans; surface them for fresh driver evidence. PRUNE once
+# CORRECTNESS_r11 lands green.
 _REFRESH_R11 = (
     "q_cohort_retention",
     "q_bloom_prefilter",
     "q_stream_static_join",
     "q_skipgram_cooccur",
+    "q18_large_orders",
+    "q3_shipping_priority",
 )
 
 deprioritize(

@@ -103,13 +103,23 @@ def _revenue() -> "F.Column":
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H-Q3-style: selective join + group + top-k. Catalyst pushes
     both date predicates into the scans; top-k is a TakeOrderedAndProject
-    (no full sort of the aggregate)."""
-    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    (no full sort of the aggregate).
+
+    Round-11 reorder (guide §3.1/§2.3): customer contributes no output
+    columns — it is purely a filter on orders — so it joins orders as
+    a LEFT SEMI *before* the fact-fact join instead of riding inner on
+    the joined lineitem rows. The orderkey join's build side shrinks
+    to the BUILDING fifth (73k -> 14.6k orders at sf0.1) and the
+    lineitem rows never carry customer payload. Value-identical
+    (c_custkey is unique, so inner-to-semi cannot change multiplicity).
+    Bench sf0.1: 1.44 s -> 1.13 s same-window; oracle hash-green at
+    sf0.001/0.01/0.1."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
     li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    o2 = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_revenue().cast("double").alias("revenue"))
         .select(
