@@ -16,6 +16,8 @@ Cross-engine determinism conventions (Spark vs DuckDB oracle):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..io.tables import load_table
@@ -25,6 +27,34 @@ MONEY = "decimal(18,2)"
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def t_spread(
+    spark: SparkSession, sf_dir: str, name: str, *, max_bytes: int = 64 << 20
+) -> DataFrame:
+    """Load a table and round-robin it across the cluster when the file
+    is tiny — for scans feeding HEAVY per-row compute only.
+
+    A sub-``max_bytes`` single-file parquet table often carries ONE row
+    group, so the scan — and every downstream per-row expression — runs
+    in a single task no matter how many cores the cluster has
+    (optimization guide §2.5, unsplittable input: "repartition
+    immediately after the read"). The gate is pure file size: above
+    ``max_bytes`` the data either splits naturally across row groups or
+    the repartition would be a real shuffle of real payload, so
+    production-scale scans are untouched (measured: spreading the
+    600k-row lineitem scan REGRESSED q1/q5 at bench SF — the shuffle
+    cost exceeds the win unless per-row compute dominates, so this
+    helper is opt-in per query, not part of ``t``)."""
+    df = load_table(spark, sf_dir, name)
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if par > 1 and nbytes <= max_bytes:
+        return df.repartition(par)
+    return df
 
 
 def dec(col: str | Column, typ: str = MONEY) -> Column:

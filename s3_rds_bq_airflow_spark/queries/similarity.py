@@ -28,7 +28,7 @@ from ..operators.similarity import (
     lsh_ann_topk,
 )
 from .registry import query
-from ._util import t
+from ._util import t, t_spread
 
 _QUERY_VEC_ID = 0
 _TOPK = 10
@@ -69,9 +69,15 @@ def q_cosine_topk_exact(spark, sf_dir):
 
     Spark and DuckDB quantize float->DECIMAL(12,8) with ~1e-8 skew, so
     the reported cosine is rounded to 6 decimals on both sides; the
-    ranking itself uses full precision + vec_id tiebreak."""
-    emb = t(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+    ranking itself uses full precision + vec_id tiebreak.
+
+    The corpus side is spread across the cluster when the file is tiny
+    (`t_spread`): a single-row-group parquet scan would otherwise run
+    the whole per-row exact-decimal fold in ONE task (measured 0.76 s
+    -> 0.52 s at sf0.1 on 32 cores); above the size gate the scan
+    splits naturally and no shuffle is added."""
+    emb = t_spread(spark, sf_dir, "embeddings")
+    qv = t(spark, sf_dir, "embeddings").where(F.col("vec_id") == _QUERY_VEC_ID)
     topk = brute_force_topk(emb, qv, _TOPK, exact=True)
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
 
@@ -1178,7 +1184,11 @@ def q_ann_recall_eval(spark, sf_dir):
     query is exactly as hash-portable as its parts."""
     emb = t(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
-    exact = brute_force_topk(emb, qv, _TOPK, exact=True).select("vec_id")
+    # Exact arm's per-row decimal fold spreads when the file is tiny
+    # (same gate and rationale as q_cosine_topk_exact).
+    exact = brute_force_topk(
+        t_spread(spark, sf_dir, "embeddings"), qv, _TOPK, exact=True
+    ).select("vec_id")
     ann = lsh_ann_topk(emb, qv, _TOPK, exact=True).select("vec_id")
     overlap = exact.join(ann, "vec_id")
     return overlap.agg(
