@@ -397,12 +397,22 @@ def q18_large_orders(spark, sf_dir):
     o_orderkey is unique in orders, so the old final group-by-order
     re-aggregated exactly the rows whose sum the first pass had
     already computed. Bench sf0.1: 1.57 s -> 1.10 s same-window;
-    oracle hash-green at sf0.001/0.01/0.1."""
+    oracle hash-green at sf0.001/0.01/0.1.
+
+    The double cast happens INSIDE the aggregate subtree (same
+    decimal->double conversion, applied before the join instead of in
+    the final projection — bit-identical value), so the join payload
+    is 8 bytes not 16: at sf10 that narrowing is what keeps the
+    filtered aggregate inside AQE's broadcast-conversion reach instead
+    of forcing a 15M-row orders shuffle+sort (measured: the wide
+    variant regressed sf10 to ~2x; this one is par with the old plan
+    there and strictly one fact scan cheaper at any scale)."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .where(F.col("qty") > 250)
+        .select("l_orderkey", F.col("qty").cast("double").alias("sum_qty"))
     )
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -415,7 +425,7 @@ def q18_large_orders(spark, sf_dir):
             "o_orderkey",
             F.col("o_orderdate").cast("string").alias("o_orderdate"),
             "o_totalprice",
-            F.col("qty").cast("double").alias("sum_qty"),
+            "sum_qty",
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
