@@ -58,6 +58,10 @@ _REFRESH_R11 = (
     "q_skipgram_cooccur",
     "q18_large_orders",
     "q3_shipping_priority",
+    "q_cosine_topk_exact",
+    "q_ann_recall_eval",
+    "q_rocchio_prf",
+    "q_tfidf_topterms",
 )
 
 deprioritize(
