@@ -71,12 +71,18 @@ def q_cosine_topk_exact(spark, sf_dir):
     the reported cosine is rounded to 6 decimals on both sides; the
     ranking itself uses full precision + vec_id tiebreak.
 
-    The corpus side is spread across the cluster when the file is tiny
-    (`t_spread`): a single-row-group parquet scan would otherwise run
-    the whole per-row exact-decimal fold in ONE task (measured 0.76 s
-    -> 0.52 s at sf0.1 on 32 cores); above the size gate the scan
-    splits naturally and no shuffle is added."""
-    emb = t_spread(spark, sf_dir, "embeddings")
+    The corpus side is spread across the cluster when the file is
+    small (`t_spread`): a single-row-group parquet scan would otherwise
+    run the whole per-row exact-decimal fold in ONE task (measured
+    0.76 s -> 0.52 s at sf0.1 on 32 cores). The gate is raised to
+    256 MB here (helper default 64 MB) because this fold is the
+    heaviest per-row expression in the catalog: the sf100 decade probe
+    showed the 80 MB sf10 file was the worst case — too big for the
+    default gate, still single-row-group, 30.1 s serial vs 16.3 s at
+    sf100 where the 800 MB file finally splits naturally. A <=256 MB
+    one-off shuffle is noise next to the fold; above it, row-group
+    parallelism takes over and no shuffle is added."""
+    emb = t_spread(spark, sf_dir, "embeddings", max_bytes=256 << 20)
     qv = t(spark, sf_dir, "embeddings").where(F.col("vec_id") == _QUERY_VEC_ID)
     topk = brute_force_topk(emb, qv, _TOPK, exact=True)
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
@@ -1184,10 +1190,13 @@ def q_ann_recall_eval(spark, sf_dir):
     query is exactly as hash-portable as its parts."""
     emb = t(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID)
-    # Exact arm's per-row decimal fold spreads when the file is tiny
-    # (same gate and rationale as q_cosine_topk_exact).
+    # Exact arm's per-row decimal fold spreads when the file is small
+    # (same 256 MB gate and rationale as q_cosine_topk_exact).
     exact = brute_force_topk(
-        t_spread(spark, sf_dir, "embeddings"), qv, _TOPK, exact=True
+        t_spread(spark, sf_dir, "embeddings", max_bytes=256 << 20),
+        qv,
+        _TOPK,
+        exact=True,
     ).select("vec_id")
     ann = lsh_ann_topk(emb, qv, _TOPK, exact=True).select("vec_id")
     overlap = exact.join(ann, "vec_id")
