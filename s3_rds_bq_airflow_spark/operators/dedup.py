@@ -193,9 +193,26 @@ def minhash_near_dup_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle -> signature ->
     banded candidates -> exact-Jaccard verification. ``exact=True``
     uses portable md5-derived hashes throughout, making the whole
-    pipeline SQL-oracle-checkable."""
-    sh = token_shingles(df, text_col, id_col, k, exact=exact)
-    sigs = minhash_signatures(sh, n_perm)
+    pipeline SQL-oracle-checkable.
+
+    The shingle table and the signatures are persisted (round 12):
+    Spark shares no subplans, so without the persists the shingle
+    pipeline (normalize + explode + hash + distinct shuffle) executed
+    FIVE times per run — once under each side of the banded self-join
+    and once each for the verify pass's sizes/sh_a/sh_b consumers
+    (24 parquet scan nodes in the sf0.1 plan; with the persists the
+    corpus is scanned twice — once per union arm — during the single
+    cache fill). Both cached frames are key-sized — (id, hash64) longs
+    and (id, P longs) — never text. Round-12 sf10 occupancy probe:
+    band-bucket max/median occupancy 41/1 over 4M buckets, so there
+    is no hot-bucket skew to salt; recomputation was the entire cost
+    (interleaved A/B 57.6 -> 30.8 s min-of-4, hash-identical).
+    Cache lifetime follows the similarity.py persist convention:
+    the operator returns a LAZY frame so it cannot unpersist itself;
+    MEMORY_AND_DISK blocks are LRU-evictable and an evicted block
+    recomputes — see ``queries/__init__.clear_query_caches``."""
+    sh = token_shingles(df, text_col, id_col, k, exact=exact).persist()
+    sigs = minhash_signatures(sh, n_perm).persist()
     cands = lsh_candidate_pairs(sigs, n_perm, bands, exact=exact)
     return jaccard_verify(cands, sh, threshold)
 

@@ -74,8 +74,27 @@ def setsim_join(
     Returns (id_a, id_b, n_inter, n_union, jaccard) for every pair
     with Jaccard >= tau_num/tau_den, id_a < id_b — exactly the pairs
     a brute-force all-pairs scan would emit, without running one.
+
+    ``elems`` and the prefix frame are persisted (round 12): Spark
+    shares no subplans, so without the persists the caller's element
+    pipeline executed EIGHT times per run — three consumers inside
+    ``canonical_prefixes`` (sizes/freq/rank join), doubled by the
+    prefix self-join recomputing the whole window on both sides, plus
+    the two verification probes (16 parquet scan nodes in the sf0.1
+    plan of ``q_setsim_join``; with the persists the caller's source
+    is scanned once, during the element cache fill). Both cached frames
+    are (long, long[, int]) rows — never text. Round-12 sf10 probe:
+    prefix-token occupancy max/median 4/1 over 12.6M distinct
+    prefix tokens — the rarest-first canonical order leaves no skew
+    to salt, and the prefix filter is already minimal-complete
+    (p = sz - ceil(tau*sz) + 1), so recomputation was the cost
+    (interleaved A/B 42.5 -> 28.3 s min-of-4, hash-identical).
+    Cache lifetime: the similarity.py persist convention
+    (MEMORY_AND_DISK, LRU-evictable, recompute on eviction; see
+    ``queries/__init__.clear_query_caches``).
     """
-    pref = canonical_prefixes(elems, tau_num, tau_den)
+    elems = elems.persist()
+    pref = canonical_prefixes(elems, tau_num, tau_den).persist()
     a, b = pref.alias("a"), pref.alias("b")
     # Set sizes ride along from the prefix frame (every set has >= 1
     # prefix row carrying sz) — re-aggregating them from ``elems``

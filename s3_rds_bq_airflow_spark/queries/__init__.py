@@ -46,22 +46,18 @@ from . import privacyq  # noqa: E402,F401
 from . import tiering
 from .registry import _ORACLES, _QUERIES
 
-# Plan-rewritten this round (round 11: the four forced-broadcast
-# removals + the two optimization-round rewrites — semantics
-# identical, plans different), so their old hash-green rows describe
-# retired plans; surface them for fresh driver evidence. PRUNE once
-# CORRECTNESS_r11 lands green.
-_REFRESH_R11 = (
-    "q_cohort_retention",
-    "q_bloom_prefilter",
-    "q_stream_static_join",
-    "q_skipgram_cooccur",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    "q_cosine_topk_exact",
-    "q_ann_recall_eval",
-    "q_rocchio_prf",
-    "q_tfidf_topterms",
+# Plan-rewritten this round (round 12: the three near-dup persist
+# rewrites — semantics identical, plans different: InMemoryRelations
+# replace repeated shingle-pipeline subtrees), so their old hash-green
+# rows describe retired plans; surface them for fresh driver evidence.
+# The round-11 list (ten rows) is PRUNED: CORRECTNESS_r11 landed all
+# ten hash-green on the new plans, so the budget returns to
+# oldest-evidence rotation. PRUNE this list once CORRECTNESS_r12
+# lands green.
+_REFRESH_R12 = (
+    "q_dedup_minhash_lsh",
+    "q_setsim_join",
+    "q_containment_dedup",
 )
 
 deprioritize(
@@ -69,8 +65,25 @@ deprioritize(
         registered=list(_QUERIES),
         oracle_backed=set(_ORACLES),
         latest_green=tiering.load_latest_green(),
-        refresh=_REFRESH_R11,
+        refresh=_REFRESH_R12,
     )
 )
 
-__all__ = ["all_queries", "all_oracles", "query"]
+
+def clear_query_caches(spark) -> None:
+    """Release every persist created by declared-query builders.
+
+    The near-dup/search operators persist key-sized intermediates
+    (shingle tables, prefix frames, token statistics — see the
+    similarity.py persist convention) and return LAZY frames, so they
+    cannot unpersist themselves before the caller's action runs. The
+    blocks are MEMORY_AND_DISK and LRU-evictable (an evicted block
+    recomputes — correctness never depends on residency), so a
+    bounded session self-heals; a long-lived session executing many
+    declared queries should call this between queries (or rounds) to
+    drop the accumulated cache eagerly. The driver runs each declared
+    query once per session, so it never needs to."""
+    spark.catalog.clearCache()
+
+
+__all__ = ["all_queries", "all_oracles", "query", "clear_query_caches"]

@@ -651,11 +651,20 @@ def q_containment_dedup(spark, sf_dir):
     from ..operators.dedup import token_shingles
 
     docs = t(spark, sf_dir, "documents")
-    sh = token_shingles(docs, "text", "doc_id", k=5, exact=True)
+    # Persist the shingle table and the capped universe (round 12):
+    # without them the shingle pipeline ran once for the df-cap
+    # aggregate and again under each of ss's THREE consumers
+    # (sizes/a/b), every one re-running the explode + md5 + distinct
+    # (16 parquet scan nodes in the sf0.1 plan; with the persists
+    # documents is scanned once, during the shingle cache fill).
+    # Key-sized (long, long) rows only; lifetime per the
+    # similarity.py persist convention (see clear_query_caches).
+    # Interleaved sf10 A/B: 43.7 -> 24.4 s min-of-4, hash-identical.
+    sh = token_shingles(docs, "text", "doc_id", k=5, exact=True).persist()
     capped = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df")).where(
         F.col("_df") <= 64
     ).select("_h")
-    ss = sh.join(capped, "_h")
+    ss = sh.join(capped, "_h").persist()
     sizes = ss.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     a = ss.select(F.col("_id").alias("doc_a"), "_h")
     b = ss.select(F.col("_id").alias("doc_b"), "_h")

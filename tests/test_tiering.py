@@ -58,13 +58,13 @@ def test_live_catalog_ordering():
     rows-only sketches are dead last; unverified (if any) lead."""
     import __spark_entry__ as entrymod
 
-    from s3_rds_bq_airflow_spark.queries import _REFRESH_R11
+    from s3_rds_bq_airflow_spark.queries import _REFRESH_R12
 
     names = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     latest = tiering.load_latest_green()
     # plan-rewritten queries ride the unverified tier this round
-    fresh = set(_REFRESH_R11)
+    fresh = set(_REFRESH_R12)
 
     # rows-only sketches close the list
     rows_only = [n for n in names if n not in oracles]
