@@ -39,8 +39,17 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 # 0.1-0.7 s per query at bench SF — driver-side planning cost, not
 # computation (optimization guide §7.3). Every action on a cached
 # frame still scans parquet; nothing materialized is held. Keyed by
-# session (weakly — a stopped session's entries are collectable) and
-# by the file's (mtime, size) so a rewritten table is re-planned.
+# session and by the file's (mtime, size) so a rewritten table is
+# re-planned. NOTE on the weak keying (round-12 advisor catch): the
+# cached DataFrames hold a strong reference back to their session, and
+# a WeakKeyDictionary keeps strong references to its VALUES — the
+# documented value-refers-to-key caveat — so a STOPPED session's
+# entries are NOT collectable; they live until the process exits. The
+# weak dict only spares live sessions a __hash__ pin. That bound is
+# fine for every consumer here (driver, bench, tests: a handful of
+# sessions per process, entries are lazy plans a few KB each); a
+# process churning many sessions should call `_PLAN_CACHE.clear()`
+# (or pop its session) when stopping one.
 _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 

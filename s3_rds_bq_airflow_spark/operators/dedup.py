@@ -195,24 +195,30 @@ def minhash_near_dup_pairs(
     uses portable md5-derived hashes throughout, making the whole
     pipeline SQL-oracle-checkable.
 
-    The shingle table and the signatures are persisted (round 12):
-    Spark shares no subplans, so without the persists the shingle
-    pipeline (normalize + explode + hash + distinct shuffle) executed
-    FIVE times per run — once under each side of the banded self-join
-    and once each for the verify pass's sizes/sh_a/sh_b consumers
-    (24 parquet scan nodes in the sf0.1 plan; with the persists the
-    corpus is scanned twice — once per union arm — during the single
-    cache fill). Both cached frames are key-sized — (id, hash64) longs
-    and (id, P longs) — never text. Round-12 sf10 occupancy probe:
-    band-bucket max/median occupancy 41/1 over 4M buckets, so there
-    is no hot-bucket skew to salt; recomputation was the entire cost
-    (interleaved A/B 57.6 -> 30.8 s min-of-4, hash-identical).
-    Cache lifetime follows the similarity.py persist convention:
-    the operator returns a LAZY frame so it cannot unpersist itself;
-    MEMORY_AND_DISK blocks are LRU-evictable and an evicted block
-    recomputes — see ``queries/__init__.clear_query_caches``."""
+    The shingle table is persisted (round 12): Spark shares no
+    subplans, so without the persist the shingle pipeline (normalize
+    + explode + hash + distinct shuffle) executed FIVE times per run
+    — once under each side of the banded self-join and once each for
+    the verify pass's sizes/sh_a/sh_b consumers (24 parquet scan
+    nodes in the sf0.1 plan; with the persist the corpus is scanned
+    twice — once per union arm — during the single cache fill). The
+    cached frame is key-sized (id, hash64) longs — never text.
+    Round-12 sf10 occupancy probe: band-bucket max/median occupancy
+    41/1 over 4M buckets, so there is no hot-bucket skew to salt;
+    recomputation was the entire cost (interleaved 3-way A/B, min of
+    3, hash-identical: unpersisted 41.9 s, shingles-only 28.1 s,
+    shingles+signatures 28.0 s). The signature frame is deliberately
+    NOT persisted: its two consumers (the band self-join's sides)
+    each re-run ONE hash aggregate over the cached shingles — sf10
+    par with caching it — while its P-longs-per-doc cache is ~16x
+    the shingle cache and is exactly what spills first at sf100 on a
+    fixed-memory box. Cache lifetime follows the similarity.py
+    persist convention: the operator returns a LAZY frame so it
+    cannot unpersist itself; MEMORY_AND_DISK blocks are
+    LRU-evictable and an evicted block recomputes — see
+    ``queries/__init__.clear_query_caches``."""
     sh = token_shingles(df, text_col, id_col, k, exact=exact).persist()
-    sigs = minhash_signatures(sh, n_perm).persist()
+    sigs = minhash_signatures(sh, n_perm)
     cands = lsh_candidate_pairs(sigs, n_perm, bands, exact=exact)
     return jaccard_verify(cands, sh, threshold)
 

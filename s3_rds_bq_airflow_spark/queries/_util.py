@@ -30,7 +30,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def t_spread(
-    spark: SparkSession, sf_dir: str, name: str, *, max_bytes: int = 64 << 20
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    max_bytes: int = 64 << 20,
+    min_bytes: int = 256 << 10,
 ) -> DataFrame:
     """Load a table and round-robin it across the cluster when the file
     is tiny — for scans feeding HEAVY per-row compute only.
@@ -45,16 +50,73 @@ def t_spread(
     production-scale scans are untouched (measured: spreading the
     600k-row lineitem scan REGRESSED q1/q5 at bench SF — the shuffle
     cost exceeds the win unless per-row compute dominates, so this
-    helper is opt-in per query, not part of ``t``)."""
+    helper is opt-in per query, not part of ``t``).
+
+    ``min_bytes`` floor (round-12 advisor catch): below ~a quarter MB
+    the whole table is a few thousand rows, the per-row compute win is
+    nil, and the fan-out still pays a shuffle plus N task launches per
+    query — pure overhead on the tiny-SF correctness runs. Measured on
+    q_cosine_topk_exact at sf0.001 (190 KB, ~1k vectors): skipping the
+    spread is neutral-to-faster there while sf0.1 (780 KB, the bench
+    win) still spreads."""
     df = load_table(spark, sf_dir, name)
     try:
         nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
     except OSError:
         return df
     par = spark.sparkContext.defaultParallelism
-    if par > 1 and nbytes <= max_bytes:
+    if par > 1 and min_bytes <= nbytes <= max_bytes:
         return df.repartition(par)
     return df
+
+
+def _size_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ('10m', '10MB', '1048576b',
+    plain digits, '-1') to bytes. Mirrors Spark's JavaUtils suffixes;
+    unknown forms parse as -1 (treated as 'no threshold')."""
+    s = value.strip().lower()
+    mult = 1
+    for suffix, factor in (
+        ("tb", 1 << 40), ("t", 1 << 40),
+        ("gb", 1 << 30), ("g", 1 << 30),
+        ("mb", 1 << 20), ("m", 1 << 20),
+        ("kb", 1 << 10), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], factor
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return -1
+
+
+def dim_outgrows_broadcast(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True when the planner would NOT auto-broadcast a scan of this
+    table — the size probe behind the adaptive prefilter shapes in
+    q5/q7/q10 (optimization guide §3.1).
+
+    Compares the parquet file size against the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` — the same statistic the
+    planner derives a pushed-down scan's sizeInBytes from (file bytes
+    x fileCompressionFactor, default 1.0) — so the gate flips exactly
+    where the dimension join stops broadcasting: data-size-adaptive,
+    never tuned to a core count or a bench SF. A disabled threshold
+    (-1) means nothing auto-broadcasts, so the prefilter shape is
+    always right. Single-file tables only (the t_spread assumption);
+    an unreadable path returns False (keep the simpler shape)."""
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return False
+    try:
+        thr = _size_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thr = 10 << 20  # stock default
+    if thr < 0:
+        return True
+    return nbytes > thr
 
 
 def dec(col: str | Column, typ: str = MONEY) -> Column:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import query
-from ._util import dec, dsum, t
+from ._util import dec, dim_outgrows_broadcast, dsum, t
 
 
 @query(
@@ -154,7 +154,22 @@ def q5_nation_revenue(spark, sf_dir):
     (25 / 5 rows at 100 TB too); supplier is size-planned — broadcast
     while it fits the threshold, shuffle at the SF where it no longer
     does. The only unavoidable shuffles are the two fact-fact joins
-    and the final tiny aggregate."""
+    and the final tiny aggregate.
+
+    Adaptive prefilter (round 12, guide §3.1/§6): once customer
+    outgrows the broadcast threshold (`dim_outgrows_broadcast` — file
+    size vs the session threshold, the planner's own statistic), the
+    ASIA nation keys (nation-domain bounded, <= 25) are collected
+    once and pushed into the customer AND supplier scans as IN
+    filters: the region predicate then prunes ~4/5 of both dimensions
+    AT THE SCAN, ahead of their shuffles instead of after the join,
+    usually shrinking them back under the broadcast threshold.
+    Value-identical — the inner joins against the ASIA-filtered
+    nation/region would drop exactly those rows anyway, and a filter
+    cannot change multiplicity. Below the gate the plan is
+    structurally identical to round 11's (measured there: extra
+    prefilter stages are a net LOSS while every dimension broadcasts
+    — bench SF keeps the simpler shape)."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -164,6 +179,30 @@ def q5_nation_revenue(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    if dim_outgrows_broadcast(spark, sf_dir, "customer"):
+        # ASIA nation keys, collected once (nation-domain bounded,
+        # <= 25 rows — the trainprep source-enum collect class) and
+        # inlined as IN filters on BOTH dimension scans: the
+        # predicate pushes into the parquet scans (guide §6) with no
+        # extra join stage, and — unlike a semi join on the cached
+        # nation frame — no ambiguous-self-join hazard with the
+        # nation/region joins below.
+        asia_nk = [
+            r["n_nationkey"]
+            for r in t(spark, sf_dir, "nation")
+            .join(
+                t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("n_nationkey")
+            .collect()
+        ]
+        cust = cust.where(
+            F.col("c_nationkey").isin(asia_nk) if asia_nk else F.lit(False)
+        )
+        supp = supp.where(
+            F.col("s_nationkey").isin(asia_nk) if asia_nk else F.lit(False)
+        )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import query
-from ._util import dec, dsum, t
+from ._util import dec, dim_outgrows_broadcast, dsum, t
 
 _REV = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))"
 
@@ -91,7 +91,19 @@ def q7_nation_volume(spark, sf_dir):
     """TPC-H-Q7 shape: trade volume between a nation pair by year.
     Disjunctive cross-dimension predicate evaluates after the
     dimension joins (nation broadcast by hint; supplier by size
-    stats while it fits); only fact-fact join shuffles."""
+    stats while it fits); only fact-fact join shuffles.
+
+    Adaptive prefilter (round 12, guide §3.1/§6): once customer
+    outgrows the broadcast threshold, the two pair nations' keys
+    (nation-domain bounded, <= 25) are collected once and pushed into
+    the supplier AND customer scans as IN filters BEFORE the fact
+    joins — the disjunction only keeps (supp, cust) nations drawn
+    from that two-element set, so the prefilter keeps a superset of
+    the surviving rows and a filter cannot change multiplicity; it
+    prunes ~23/25 of both dimensions at the scan, usually shrinking
+    them back under the broadcast threshold. Below the gate the
+    round-11 plan is kept unchanged (prefilter measured slower while
+    everything broadcasts)."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -99,6 +111,26 @@ def q7_nation_volume(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
+    if dim_outgrows_broadcast(spark, sf_dir, "customer"):
+        # The two pair nations' keys, collected once (nation-domain
+        # bounded, <= 25 rows — the trainprep source-enum collect
+        # class) and inlined as IN filters on both dimension scans:
+        # predicate pushdown into the parquet scans (guide §6), no
+        # extra join stage, no self-join hazard with the n1/n2
+        # broadcast joins below.
+        pair_nk = [
+            r["n_nationkey"]
+            for r in t(spark, sf_dir, "nation")
+            .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+            .select("n_nationkey")
+            .collect()
+        ]
+        supp = supp.where(
+            F.col("s_nationkey").isin(pair_nk) if pair_nk else F.lit(False)
+        )
+        cust = cust.where(
+            F.col("c_nationkey").isin(pair_nk) if pair_nk else F.lit(False)
+        )
     n1 = F.broadcast(t(spark, sf_dir, "nation")).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -243,7 +275,21 @@ def q9_product_profit(spark, sf_dir):
 )
 def q10_returned_items(spark, sf_dir):
     """TPC-H-Q10 shape: customers who returned the most value in a
-    half-year — join + group + top-k (TakeOrderedAndProject)."""
+    half-year — join + group + top-k (TakeOrderedAndProject).
+
+    Adaptive aggregate-first (round 12, guide §2.3 aggregate before
+    you shuffle, §3.1): once customer outgrows the broadcast
+    threshold its join becomes a shuffle of the joined fact rows, so
+    the revenue is aggregated per o_custkey FIRST and the key-sized
+    aggregate joins customer/nation after — the customer shuffle then
+    moves one row per customer instead of every returned line item.
+    Value-identical: c_custkey is unique, so (c_name, c_acctbal,
+    n_name) are functionally determined by the grouping key and the
+    per-custkey decimal sums are the same rows summed; custkeys
+    without a customer row drop at the inner join in both shapes, and
+    the double cast is applied to the same exact decimal. Below the
+    gate the round-11 single-aggregate-after-broadcast-join plan is
+    kept (agg-first measured slower while customer broadcasts)."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -251,6 +297,25 @@ def q10_returned_items(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
+    if dim_outgrows_broadcast(spark, sf_dir, "customer"):
+        rev = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_custkey")
+            .agg(_rev().alias("__rev_dec"))
+        )
+        return (
+            rev.join(cust, rev.o_custkey == cust.c_custkey)
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                "c_custkey",
+                "c_name",
+                F.col("__rev_dec").cast("double").alias("revenue"),
+                "c_acctbal",
+                "n_name",
+            )
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+        )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

@@ -292,6 +292,18 @@ def q_embedding_neardup(spark, sf_dir):
     # subtree with an ExistingRDD, blinding the catalog-wide plan
     # guards (pushdown/broadcast pins) and running a job at
     # plan-build time; the cached plan keeps the scans visible.
+    # THE MODULE PERSIST CONVENTION (referenced by the dedup/setsim/
+    # searchops/textops persists): the builder returns a LAZY frame,
+    # so it cannot unpersist before the caller's action; blocks are
+    # MEMORY_AND_DISK, LRU-evictable, and an evicted block recomputes
+    # — correctness NEVER depends on residency. Re-invoking a builder
+    # re-persists an identical canonicalized plan, which Spark's
+    # CacheManager DEDUPS to the existing entry (no accumulation per
+    # re-run; a rewritten table file changes the plan-cache key and
+    # therefore the canonical plan, so a stale entry is simply left
+    # behind unused, evictable). Long-lived sessions bound the
+    # accumulation across MANY DIFFERENT queries with
+    # queries.clear_query_caches() between queries or rounds.
     bucketed = corpus.select(
         "vec_id",
         "embedding",

@@ -350,6 +350,28 @@ def _bloom_m(n_build: int) -> int:
     return m
 
 
+def _bloom_saturated(n_build: int) -> bool:
+    """True when the bitset is saturated enough that the filter passes
+    MOST of the fact table — the regime where the aggregate-first gear
+    wins: expected false-positive rate fp = (1 - e^(-k*n/m))^k > 1/2.
+    Below that the filter-first plan evaluates the md5s once per row
+    anyway but then shuffles only the tiny fp-fraction to the
+    verification join — adding an aggregate there is pure overhead.
+    The boundary sits at ~69k build keys for the 2^17 cap; measured
+    regimes: sf0.1 n=1.9k fp=0.004 (pruned), sf10 n=189k fp=0.96,
+    sf100 n=1.89M fp~=1.0 (pass-through). Pure function of
+    (n_build, m) — both known before planning, nothing tuned to a
+    core count — and testable in isolation: both gears compute the
+    identical output (pinned by tests/test_adaptive_gears.py)."""
+    import math
+
+    m = _bloom_m(n_build)
+    if n_build <= 0:
+        return False
+    fp = (1.0 - math.exp(-_BLOOM_K * n_build / m)) ** _BLOOM_K
+    return fp > 0.5
+
+
 # SQL twin of _bloom_m: candidate powers 2^13..2^17, smallest >=
 # 16*n_build, NULL (all too small) coalesced to the cap.
 _BLOOM_M_SQL = f"""
@@ -432,8 +454,14 @@ def q_bloom_prefilter(spark, sf_dir):
     shuffles a sliver of the table; beyond the 2^17 cap (~8k build
     keys, around sf1 for this month-slice) the fp rate climbs and
     the query degrades gracefully to pass-through + exact join —
-    correct, no longer pruned; that regime belongs to AQE's native
-    runtime bloom or the bucketed join. The bitmap build aggregates
+    correct, no longer pruned. In that saturated regime the execution
+    flips to an aggregate-first gear (see the block comment at the
+    gate): per-orderkey (rows, revenue) partial aggregation ahead of
+    the bloom expression and the verification join, so the md5
+    triples are evaluated once per KEY and the join input is
+    key-sized — same output bit-for-bit; true runtime pruning at that
+    scale belongs to AQE's native runtime bloom or the bucketed
+    join. The bitmap build aggregates
     positions with bit_or (map-side combined, <= m/64 = 2048 result
     rows — a config-capped driver collect, same class as IVF
     centroids). The oracle reproduces the EXACT filter — the same
@@ -459,7 +487,8 @@ def q_bloom_prefilter(spark, sf_dir):
         .select("o_orderkey")
         .distinct()
     )
-    m = _bloom_m(build.count())
+    build_n = build.count()
+    m = _bloom_m(build_n)
     n_words = m // 64
     pos = build.select(
         F.explode(
@@ -500,10 +529,67 @@ def q_bloom_prefilter(spark, sf_dir):
         f"& shiftleft(CAST(1 AS BIGINT), CAST(__bp{j} % 64 AS INT))) != 0"
         for j in range(_BLOOM_K)
     )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # Once the bitset saturates past fp > 1/2 (see _bloom_saturated:
+    # ~69k build keys at the 2^17 cap, fp -> ~0.97 by sf100) the
+    # "pruned" probe side is most of the fact table, so the dominant
+    # costs flip from the verification join to (a) three md5+conv
+    # evaluations PER LINE ITEM and (b) a fact-sized join input.
+    # Saturated gear (round 12, guide §2.3 "aggregate before you
+    # shuffle" + §1.2 per-task work): aggregate (rows, decimal
+    # revenue) per l_orderkey FIRST — map-side combine compresses the
+    # shuffle to one row per key — then evaluate the bloom expression
+    # ONCE PER KEY (~4x fewer md5 triples) and verify the key-sized
+    # aggregate. Value-identical: membership depends only on
+    # l_orderkey, so a key's line items all pass or all fail
+    # together; the counts become sums of per-key counts and the
+    # revenue the sum of per-key exact decimal sums — associativity
+    # in the decimal domain, with the double cast still applied once
+    # to the same exact total. Below the fp boundary the round-11
+    # filter-first plan is unchanged: the filter drops 88%+ before
+    # anything shuffles, which beats aggregating the full fact
+    # (measured at sf10 — see _bloom_saturated; the test-SF plan pin
+    # `test_bloom_prefilter_probe_is_pure_filter` covers that gear).
+    if _bloom_saturated(build_n):
+        per_key = li.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.sum(dec("l_extendedprice")).alias("__rev"),
+        )
+        # The membership test is FENCED behind a per-group-count
+        # conjunct: a bare filter is a pure function of the grouping
+        # key, so Catalyst pushes it below the aggregate — back to
+        # one md5 triple PER LINE ITEM, voiding the gear's whole
+        # hash saving (observed in the first sf10 plan dump). The
+        # `__rows >= 1` arm is vacuously true (a group has >= 1
+        # row) but references an aggregate output, so the predicate
+        # cannot be split or pushed and the md5s run once per KEY.
+        fenced = F.when(F.col("__rows") >= 1, F.expr(member_sql)).otherwise(
+            F.lit(False)
+        )
+        cand = (
+            per_key.withColumns(
+                {f"__bp{j}": F.expr(pos_sql(j)) for j in range(_BLOOM_K)}
+            )
+            .where(fenced)
+            .drop(*[f"__bp{j}" for j in range(_BLOOM_K)])
+        )
+        verified = cand.join(
+            build, cand["l_orderkey"] == build["o_orderkey"], "left"
+        )
+        return verified.agg(
+            F.sum("__rows").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("o_orderkey").isNotNull(), F.col("__rows")).otherwise(0))
+            .cast("long")
+            .alias("n_true_matches"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), F.col("__rows")).otherwise(0))
+            .cast("long")
+            .alias("n_false_positives"),
+            F.sum(F.when(F.col("o_orderkey").isNotNull(), F.col("__rev")))
+            .cast("double")
+            .alias("true_revenue"),
+        )
     cand = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice")
-        .withColumns({f"__bp{j}": F.expr(pos_sql(j)) for j in range(_BLOOM_K)})
+        li.withColumns({f"__bp{j}": F.expr(pos_sql(j)) for j in range(_BLOOM_K)})
         .where(F.expr(member_sql))
         .drop(*[f"__bp{j}" for j in range(_BLOOM_K)])
     )
